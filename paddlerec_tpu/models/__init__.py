@@ -1,0 +1,76 @@
+"""Built-in model zoo.
+
+Importing this package registers every built-in ModelDef so that
+``runner.model: rank.deepfm`` style configs resolve (see core/registry.py).
+"""
+
+import importlib
+
+# Families and models are imported lazily by the registry on first lookup;
+# this list is for list_models() completeness.
+_BUILTIN = [
+    "rank.lr",
+    "rank.dnn",
+    "rank.deepfm",
+    "rank.wide_deep",
+    "rank.fm",
+    "rank.dcn",
+    "rank.dcn_v2",
+    "rank.xdeepfm",
+    "rank.dlrm",
+    "rank.din",
+    "rank.gatenet",
+    "rank.naml",
+    "rank.ffm",
+    "rank.difm",
+    "rank.autoint",
+    "rank.bst",
+    "rank.dien",
+    "rank.deepfefm",
+    "rank.dmr",
+    "rank.dsin",
+    "rank.fgcnn",
+    "rank.flen",
+    "rank.autofis",
+    "rank.sign",
+    "rank.dpin",
+    "rank.iprec",
+    "rank.fat_deepffm",
+    "rank.bert4rec",
+    "rank.fastformer",
+    "rank.slot_dnn",
+    "rank.logistic_regression",
+    "multitask.mmoe",
+    "multitask.esmm",
+    "multitask.ple",
+    "multitask.share_bottom",
+    "multitask.aitm",
+    "multitask.escm2",
+    "multitask.dselect_k",
+    "multitask.metaheac",
+    "multitask.maml",
+    "match.dssm",
+    "match.multiview_simnet",
+    "match.match_pyramid",
+    "match.kim",
+    "recall.ncf",
+    "recall.word2vec",
+    "recall.mind",
+    "recall.deepwalk",
+    "recall.ensfm",
+    "recall.mhcn",
+    "recall.tisas",
+    "contentunderstanding.tagspace",
+    "contentunderstanding.textcnn",
+]
+
+
+def import_all():
+    imported = []
+    for name in _BUILTIN:
+        try:
+            importlib.import_module(f"paddlerec_tpu.models.{name}.model")
+            imported.append(name)
+        except ModuleNotFoundError:
+            pass  # not built yet
+    return imported

@@ -1,0 +1,143 @@
+"""ModelDef: the per-model contract.
+
+The reference has two contracts per model — DygraphModel
+(create_model/create_feeds/create_loss/train_forward/infer_forward,
+models/rank/deepfm/dygraph_model.py:23-98) and StaticModel
+(create_feeds/net/infer_net, models/rank/dnn/static_model.py:21-129).
+TPU-native replacement: ONE functional contract.  A ModelDef owns a flax
+module plus pure functions that jit cleanly; the trainer composes them into
+a single compiled train step.  No dygraph/static split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from paddlerec_tpu.core.config import Config
+
+Batch = Dict[str, jnp.ndarray]
+Aux = Dict[str, jnp.ndarray]
+
+
+class ModelDef:
+    """Base contract. Subclasses must set ``self.module`` in __init__ and
+    implement train_forward / infer_forward as pure functions of params."""
+
+    # which streaming metric family the trainer should run
+    metrics: str = "auc"
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.module: nn.Module = None  # set by subclass
+
+    # -- setup ---------------------------------------------------------------
+    def example_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array) -> Any:
+        batch = jax.tree.map(jnp.asarray, self.example_batch(2))
+        return self.init_with_batch(rng, batch)
+
+    def init_with_batch(self, rng: jax.Array, batch: Batch) -> Any:
+        variables = self.module.init(rng, *self.model_inputs(batch))
+        return variables["params"]
+
+    def model_inputs(self, batch: Batch) -> Tuple[jnp.ndarray, ...]:
+        """Map a reader batch to the module's __call__ positional args."""
+        raise NotImplementedError
+
+    # -- step functions (pure, jittable) --------------------------------------
+    def train_forward(self, params: Any, batch: Batch) -> Tuple[jnp.ndarray, Aux]:
+        raise NotImplementedError
+
+    def infer_forward(self, params: Any, batch: Batch) -> Aux:
+        _, aux = self.train_forward(params, batch)
+        return aux
+
+    # -- optimizer -------------------------------------------------------------
+    def create_optimizer(self) -> optax.GradientTransformation:
+        """Optimizer from hyper_parameters.optimizer.* (reference
+        dygraph_model.create_optimizer: Adam(lr) by default)."""
+        cfg = self.config
+        name = str(cfg.hyper("optimizer.class", "Adam")).lower()
+        lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
+        if name == "adam":
+            lazy = bool(cfg.hyper("optimizer.lazy_mode", False))
+            del lazy  # dense adam; lazy/rowwise variants live in parallel/
+            return optax.adam(lr)
+        if name in ("sgd", "gradientdescent"):
+            return optax.sgd(lr)
+        if name == "adagrad":
+            init_acc = float(cfg.hyper("optimizer.initial_accumulator_value", 0.1))
+            return optax.adagrad(lr, initial_accumulator_value=init_acc)
+        if name == "rmsprop":
+            return optax.rmsprop(lr)
+        if name == "adamw":
+            wd = float(cfg.hyper("optimizer.weight_decay", 1e-4))
+            return optax.adamw(lr, weight_decay=wd)
+        raise ValueError(f"unknown optimizer {name!r}")
+
+
+def binary_logloss(
+    logits: jnp.ndarray, labels: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Mean binary cross-entropy from logits (numerically stable)."""
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    if mask is not None:
+        return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return per.mean()
+
+
+class CTRModelDef(ModelDef):
+    """Base for binary-CTR models over (sparse ids, dense) features.
+
+    Subclass sets ``self.module`` to a flax module mapping
+    (sparse_ids (B,S)[,L], dense (B,D)) → logits (B,).  Everything else —
+    log-loss, sigmoid predictions, AUC aux, synthetic batches — is shared.
+    """
+
+    metrics = "auc"
+
+    def __init__(self, config: Config):
+        super().__init__(config)
+        self.num_sparse = int(config.hyper("sparse_inputs_slots", 27)) - 1
+        self.vocab_size = int(config.hyper("sparse_feature_number", 1000001))
+        self.embedding_dim = int(config.hyper("sparse_feature_dim", 9))
+        self.dense_dim = int(config.hyper("dense_input_dim", 13))
+
+    def model_inputs(self, batch: Batch) -> Tuple[jnp.ndarray, ...]:
+        if self.dense_dim:
+            return (batch["sparse"], batch["dense"])
+        return (batch["sparse"],)
+
+    def example_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        from paddlerec_tpu.data.synthetic import synthetic_batch
+
+        rng = np.random.RandomState(0)
+        return synthetic_batch(
+            rng,
+            batch_size,
+            num_sparse=self.num_sparse,
+            dense_dim=max(self.dense_dim, 1),
+            vocab=self.vocab_size,
+        )
+
+    def train_forward(self, params: Any, batch: Batch) -> Tuple[jnp.ndarray, Aux]:
+        logits = self.module.apply({"params": params}, *self.model_inputs(batch))
+        logits = logits.reshape(-1)
+        labels = batch["label"].reshape(-1).astype(jnp.float32)
+        mask = batch.get("mask")
+        loss = binary_logloss(logits, labels, mask)
+        aux = {
+            "predictions": jax.nn.sigmoid(logits),
+            "labels": labels,
+        }
+        if mask is not None:
+            aux["mask"] = mask
+        return loss, aux

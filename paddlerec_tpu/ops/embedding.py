@@ -1,0 +1,77 @@
+"""Embedding ops: shared sparse table + pooled lookup.
+
+Reference behavior being rebuilt:
+  * one big sparse table shared across all slots
+    (models/rank/dnn/net.py:72-77 `paddle.static.nn.sparse_embedding`,
+    vocab = hyper_parameters.sparse_feature_number);
+  * sum-pooling of per-slot multi-hot ids into one vector per slot.
+
+TPU-native design: tables are ordinary parameters living (sharded) in HBM;
+under pjit the lookup lowers to a gather with XLA-inserted collectives when
+the table is row-sharded over the mesh's ``mp`` axis.  The explicit
+all_to_all exchange (the PS replacement) lives in
+``paddlerec_tpu/parallel/embedding.py``; Pallas fused kernels in
+``paddlerec_tpu/ops/pallas/``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Param names with this prefix get row-sharded over the model axis (see
+# paddlerec_tpu/parallel/sharding.py).
+EMBEDDING_PARAM_NAME = "embedding"
+
+
+class SlotEmbedding(nn.Module):
+    """Shared embedding table over all sparse slots.
+
+    Input ids: (B, S) one id per slot, or (B, S, L) multi-hot with optional
+    (B, S, L) mask; output: (B, S, E) per-slot pooled vectors.
+
+    Attributes:
+      vocab_size: number of rows (sparse_feature_number).
+      embedding_dim: vector width (sparse_feature_dim).
+      combiner: 'sum' | 'mean' pooling over the L axis.
+      hash_ids: apply `ids mod vocab_size` — the safety net the reference
+        gets from string-hash preprocessing (tools/dataset/parser.cpp:36-78).
+      scale_sparse_grad: reserved hook for grad scaling parity.
+    """
+
+    vocab_size: int
+    embedding_dim: int
+    combiner: str = "sum"
+    hash_ids: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+    init_stddev: float = 1e-2
+
+    @nn.compact
+    def __call__(
+        self, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        table = self.param(
+            EMBEDDING_PARAM_NAME,
+            nn.initializers.normal(stddev=self.init_stddev),
+            (self.vocab_size, self.embedding_dim),
+            self.param_dtype,
+        )
+        if self.hash_ids:
+            ids = ids % self.vocab_size
+        vecs = jnp.take(table, ids, axis=0)  # (..., E)
+        if ids.ndim == 2:  # (B, S) → (B, S, E)
+            return vecs
+        # (B, S, L, E) → pooled (B, S, E)
+        if mask is not None:
+            vecs = vecs * mask[..., None]
+        pooled = vecs.sum(axis=2)
+        if self.combiner == "mean":
+            denom = (
+                mask.sum(axis=2, keepdims=False)[..., None]
+                if mask is not None
+                else jnp.full(pooled.shape[:-1] + (1,), ids.shape[2], pooled.dtype)
+            )
+            pooled = pooled / jnp.maximum(denom, 1.0)
+        return pooled

@@ -1,0 +1,82 @@
+"""Checkpoint save/load.
+
+Parity with the reference's artifact layout (`tools/utils/save_load.py`):
+per-epoch numbered directories under ``runner.model_save_path`` containing
+params (+ optimizer state for exact resume).  Uses orbax for the on-disk
+format; a ``donefile.txt`` in the save root records the latest finished
+epoch (the single-machine analog of flow_helper's donefile protocol,
+`tools/utils/static_ps/flow_helper.py:287-371`) so resume is one read.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+DONEFILE = "donefile.txt"
+
+
+def _ckpt_dir(root: str, tag) -> str:
+    return os.path.join(os.path.abspath(root), str(tag))
+
+
+def save_model(params: Any, opt_state: Any, root: str, tag) -> str:
+    """Save params+opt under root/tag and update the donefile."""
+    path = _ckpt_dir(root, tag)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(
+        os.path.join(path, "state"),
+        {"params": params, "opt_state": opt_state},
+        force=True,
+    )
+    ckpt.wait_until_finished()
+    with open(os.path.join(os.path.abspath(root), DONEFILE), "a") as f:
+        f.write(f"{tag}\t{path}\n")
+    return path
+
+
+def load_model(root: str, tag, abstract_state: Optional[Any] = None) -> Tuple[Any, Any]:
+    """Load (params, opt_state) from root/tag.
+
+    abstract_state: optional {"params":..., "opt_state":...} pytree of
+    jax.ShapeDtypeStruct (with shardings) — restores the original pytree
+    structure directly into the target device layout.
+    """
+    path = os.path.join(_ckpt_dir(root, tag), "state")
+    ckpt = ocp.StandardCheckpointer()
+    if abstract_state is not None:
+        restored = ckpt.restore(path, abstract_state)
+    else:
+        restored = ckpt.restore(path)
+    return restored["params"], restored["opt_state"]
+
+
+def last_saved_tag(root: str) -> Optional[str]:
+    """Latest tag recorded in the donefile (resume point), or None."""
+    done = os.path.join(os.path.abspath(root), DONEFILE)
+    if not os.path.exists(done):
+        return None
+    with open(done) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    if not lines:
+        return None
+    return lines[-1].split("\t")[0]
+
+
+def save_params_only(params: Any, root: str, tag) -> str:
+    """Inference-model analog: params without optimizer state."""
+    path = _ckpt_dir(root, tag)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, "params"), jax.device_get(params), force=True)
+    return path
+
+
+def load_params_only(root: str, tag, abstract_params: Optional[Any] = None) -> Any:
+    path = os.path.join(_ckpt_dir(root, tag), "params")
+    ckpt = ocp.PyTreeCheckpointer()
+    if abstract_params is not None:
+        return ckpt.restore(path, item=abstract_params)
+    return ckpt.restore(path)

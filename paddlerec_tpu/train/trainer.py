@@ -1,0 +1,303 @@
+"""The trainer: one jitted SPMD step replacing the reference's trainer family.
+
+What the reference runs as five regimes (dygraph tools/trainer.py, static
+tools/static_trainer.py, PS tools/static_ps_trainer.py, GPUBox
+tools/static_gpubox_trainer.py, collective) collapses here into one loop:
+
+    batch (host, sharded over dp) ──> jit(train_step) over a Mesh ──>
+    metrics accumulated in-graph (psum-exact AUC buckets) ──>
+    per-epoch checkpoint + logging.
+
+Sharding is declared once on the params (embedding tables row-sharded over
+``mp``, dense towers replicated); optimizer state inherits it through XLA
+sharding propagation; the batch is split over ``dp``.  Throughput telemetry
+matches the reference format (avg_reader_cost / avg_batch_cost / ips,
+tools/trainer.py:179-189).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from paddlerec_tpu.core import metrics as metrics_lib
+from paddlerec_tpu.core.config import Config, resolve_path
+from paddlerec_tpu.data.schema import schema_from_config
+from paddlerec_tpu.data.slot_reader import (
+    PrefetchIterator,
+    SlotDataset,
+    list_data_files,
+    shard_files,
+)
+from paddlerec_tpu.parallel.mesh import mesh_from_config
+from paddlerec_tpu.parallel.sharding import batch_sharding, param_shardings
+from paddlerec_tpu.train import checkpoint as ckpt_lib
+from paddlerec_tpu.train.state import TrainState
+
+logging.basicConfig(
+    format="%(asctime)s - %(levelname)s - %(message)s", level=logging.INFO
+)
+logger = logging.getLogger("paddlerec_tpu")
+
+
+class Trainer:
+    def __init__(self, config: Config, model_def=None, mesh=None):
+        self.config = config
+        if model_def is None:
+            from paddlerec_tpu.core.registry import load_model_def
+
+            model_def = load_model_def(config)
+        self.model_def = model_def
+        self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        self._train_step = None
+        self._infer_step = None
+        self.state: Optional[TrainState] = None
+        self.use_auc = bool(config.runner("use_auc", True)) and (
+            model_def.metrics == "auc"
+        )
+
+    # -- setup ----------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = int(self.config.runner("seed", 2023) if seed is None else seed)
+        rng = jax.random.PRNGKey(seed)
+        batch = jax.tree.map(jnp.asarray, self.model_def.example_batch(2))
+
+        def init_fn(r):
+            return self.model_def.init_with_batch(r, batch)
+
+        abstract = jax.eval_shape(init_fn, rng)
+        shardings = param_shardings(abstract, self.mesh)
+        # init directly into the sharded layout: big tables never exist
+        # unsharded on one device.
+        params = jax.jit(init_fn, out_shardings=shardings)(rng)
+        tx = self.model_def.create_optimizer()
+        opt_state = jax.jit(tx.init)(params)  # moments inherit param sharding
+        self.state = TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
+            params=params,
+            opt_state=opt_state,
+            tx=tx,
+        )
+        return self.state
+
+    def load_checkpoint(self, root: str, tag) -> None:
+        """Restore params+opt from a checkpoint into the current shardings."""
+        if self.state is None:
+            self.init_state()
+
+        def as_abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+                )
+            return x
+
+        abstract = jax.tree.map(
+            as_abstract,
+            {"params": self.state.params, "opt_state": self.state.opt_state},
+        )
+        params, opt_state = ckpt_lib.load_model(root, tag, abstract)
+        self.state = self.state.replace(params=params, opt_state=opt_state)
+
+    # -- jitted steps -----------------------------------------------------------
+    def _build_train_step(self):
+        model_def = self.model_def
+        use_auc = self.use_auc
+
+        def train_step(state: TrainState, batch, metric_state):
+            def loss_fn(params):
+                return model_def.train_forward(params, batch)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads)
+            if use_auc:
+                metric_state = metrics_lib.update_auc_state(
+                    metric_state,
+                    aux["predictions"],
+                    aux["labels"],
+                    aux.get("mask"),
+                )
+            return state, metric_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 2))
+
+    def _build_infer_step(self):
+        model_def = self.model_def
+        use_auc = self.use_auc
+
+        def infer_step(state: TrainState, batch, metric_state):
+            aux = model_def.infer_forward(state.params, batch)
+            if use_auc:
+                metric_state = metrics_lib.update_auc_state(
+                    metric_state,
+                    aux["predictions"],
+                    aux["labels"],
+                    aux.get("mask"),
+                )
+            return metric_state, aux
+
+        return jax.jit(infer_step, donate_argnums=(2,))
+
+    # -- data ---------------------------------------------------------------------
+    def make_dataset(self, data_dir: str, batch_size: int, shuffle=False):
+        if hasattr(self.model_def, "make_dataset"):
+            return self.model_def.make_dataset(data_dir, batch_size, shuffle)
+        schema = schema_from_config(self.config)
+        files = list_data_files(data_dir)
+        files = shard_files(files, jax.process_index(), jax.process_count())
+        return SlotDataset(
+            files,
+            schema,
+            batch_size,
+            drop_last=True,
+            shuffle_files=shuffle,
+            seed=int(self.config.runner("seed", 2023)),
+        )
+
+    def _device_batches(self, dataset) -> Iterable:
+        for batch in PrefetchIterator(iter(dataset), depth=4):
+            yield jax.device_put(batch, self.batch_sharding)
+
+    def _init_metric_state(self):
+        return jax.device_put(metrics_lib.init_auc_state(), self.replicated)
+
+    # -- loops ---------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        epochs = int(cfg.runner("epochs", 1))
+        batch_size = int(cfg.runner("train_batch_size", 32))
+        print_interval = int(cfg.runner("print_interval", 10))
+        save_path = resolve_path(cfg, "runner.model_save_path")
+        data_dir = resolve_path(cfg, "runner.train_data_dir")
+        start_epoch = 0
+
+        if self.state is None:
+            self.init_state()
+            init_path = resolve_path(cfg, "runner.model_init_path")
+            if init_path:
+                self.load_checkpoint(
+                    os.path.dirname(init_path), os.path.basename(init_path)
+                )
+                start_epoch = int(cfg.runner("last_epoch", -1)) + 1
+
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(start_epoch, epochs):
+            dataset = self.make_dataset(
+                data_dir, batch_size, shuffle=bool(cfg.runner("shuffle_files", False))
+            )
+            metric_state = self._init_metric_state()
+            epoch_begin = time.time()
+            reader_start = time.time()
+            reader_cost = train_cost = 0.0
+            interval_samples = 0
+            total_samples = 0
+            loss = None
+            for batch_id, batch in enumerate(self._device_batches(dataset)):
+                reader_cost += time.time() - reader_start
+                step_start = time.time()
+                self.state, metric_state, loss = self._train_step(
+                    self.state, batch, metric_state
+                )
+                n = len(batch["label"])
+                interval_samples += n
+                total_samples += n
+                if (batch_id + 1) % print_interval == 0:
+                    jax.block_until_ready(loss)
+                    train_cost += time.time() - step_start
+                    auc_str = ""
+                    if self.use_auc:
+                        m = metrics_lib.compute_metrics(metric_state)
+                        auc_str = f"auc: {m['auc']:.6f}, "
+                    logger.info(
+                        f"epoch: {epoch}, batch_id: {batch_id}, {auc_str}"
+                        f"loss: {float(jax.device_get(loss)):.6f}, "
+                        f"avg_reader_cost: {reader_cost / print_interval:.5f} sec, "
+                        f"avg_batch_cost: {(reader_cost + train_cost) / print_interval:.5f} sec, "
+                        f"avg_samples: {interval_samples / print_interval:.1f}, "
+                        f"ips: {interval_samples / max(reader_cost + train_cost, 1e-9):.2f} ins/s"
+                    )
+                    reader_cost = train_cost = 0.0
+                    interval_samples = 0
+                else:
+                    train_cost += time.time() - step_start
+                reader_start = time.time()
+
+            if loss is not None:
+                jax.block_until_ready(loss)
+            epoch_time = time.time() - epoch_begin
+            last_metrics = (
+                metrics_lib.compute_metrics(metric_state) if self.use_auc else {}
+            )
+            if self.use_auc:
+                logger.info(
+                    "epoch: {} done, {}, epoch time: {:.2f} s, ips: {:.2f} ins/s".format(
+                        epoch,
+                        metrics_lib.metrics_str(last_metrics, "train"),
+                        epoch_time,
+                        total_samples / max(epoch_time, 1e-9),
+                    )
+                )
+            else:
+                logger.info(f"epoch: {epoch} done, epoch time: {epoch_time:.2f} s")
+            if save_path and jax.process_index() == 0:
+                path = ckpt_lib.save_model(
+                    jax.device_get(self.state.params),
+                    jax.device_get(self.state.opt_state),
+                    save_path,
+                    epoch,
+                )
+                logger.info(f"saved checkpoint to {path}")
+            last_metrics["epoch_time"] = epoch_time
+            last_metrics["ips"] = total_samples / max(epoch_time, 1e-9)
+        return last_metrics
+
+    def evaluate(self, epoch_tag=None) -> Dict[str, float]:
+        cfg = self.config
+        batch_size = int(cfg.runner("infer_batch_size", 32))
+        print_interval = int(cfg.runner("print_interval", 10))
+        data_dir = resolve_path(cfg, "runner.test_data_dir")
+        load_path = resolve_path(cfg, "runner.infer_load_path")
+
+        if self.state is None:
+            self.init_state()
+        if epoch_tag is not None and load_path:
+            self.load_checkpoint(load_path, epoch_tag)
+        if self._infer_step is None:
+            self._infer_step = self._build_infer_step()
+
+        dataset = self.make_dataset(data_dir, batch_size)
+        metric_state = self._init_metric_state()
+        begin = time.time()
+        total = 0
+        for batch_id, batch in enumerate(self._device_batches(dataset)):
+            metric_state, aux = self._infer_step(self.state, batch, metric_state)
+            total += len(batch["label"])
+            if (batch_id + 1) % print_interval == 0 and self.use_auc:
+                m = metrics_lib.compute_metrics(metric_state)
+                logger.info(f"infer batch_id: {batch_id}, auc: {m['auc']:.6f}")
+        elapsed = time.time() - begin
+        metrics = metrics_lib.compute_metrics(metric_state) if self.use_auc else {}
+        if self.use_auc:
+            logger.info(
+                "{}, infer time: {:.2f} s, ips: {:.2f} ins/s".format(
+                    metrics_lib.metrics_str(metrics, "infer"),
+                    elapsed,
+                    total / max(elapsed, 1e-9),
+                )
+            )
+        metrics["ips"] = total / max(elapsed, 1e-9)
+        return metrics

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from paddlerec_tpu.data.schema import SlotSchema, schema_from_config
+from paddlerec_tpu.data.slot_reader import (
+    SlotDataset,
+    list_data_files,
+    parse_slot_lines,
+    shard_files,
+)
+from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+
+def test_parse_line_basic():
+    schema = SlotSchema.criteo(num_sparse=3, dense_dim=2)
+    lines = ["click:1 dense_feature:0.5 dense_feature:0.25 1:7 2:8 3:9"]
+    out = parse_slot_lines(lines, schema)
+    assert out["label"][0] == 1.0
+    np.testing.assert_array_equal(out["sparse"][0, :, 0], [7, 8, 9])
+    np.testing.assert_allclose(out["dense"][0], [0.5, 0.25])
+
+
+def test_parse_missing_slots_padded():
+    schema = SlotSchema.criteo(num_sparse=3, dense_dim=2)
+    out = parse_slot_lines(["click:0 2:5"], schema)
+    np.testing.assert_array_equal(out["sparse"][0, :, 0], [0, 5, 0])
+    np.testing.assert_allclose(out["dense"][0], [0.0, 0.0])
+
+
+def test_dataset_batching(tmp_path):
+    data_dir = str(tmp_path / "train")
+    write_criteo_sample(data_dir, num_lines=100, num_files=2, vocab=1000)
+    schema = SlotSchema.criteo()
+    files = list_data_files(data_dir)
+    ds = SlotDataset(files, schema, batch_size=32, drop_last=True)
+    batches = list(ds)
+    assert len(batches) == 3  # 100 rows → 3 full batches of 32
+    for b in batches:
+        assert b["sparse"].shape == (32, 26)
+        assert b["dense"].shape == (32, 13)
+        assert b["label"].shape == (32,)
+        assert b["mask"].sum() == 32
+
+
+def test_dataset_pad_last(tmp_path):
+    data_dir = str(tmp_path / "train")
+    write_criteo_sample(data_dir, num_lines=40, num_files=1, vocab=1000)
+    schema = SlotSchema.criteo()
+    ds = SlotDataset(list_data_files(data_dir), schema, batch_size=32, drop_last=False)
+    batches = list(ds)
+    assert len(batches) == 2
+    last = batches[-1]
+    assert last["sparse"].shape == (32, 26)  # padded to full shape
+    assert last["mask"].sum() == 8
+
+
+def test_shard_files_partition():
+    files = [f"f{i}" for i in range(10)]
+    shards = [shard_files(files, w, 3) for w in range(3)]
+    flat = sorted(sum(shards, []))
+    assert flat == sorted(files)  # exact cover
+    with pytest.raises(ValueError):
+        shard_files(["a"], 0, 2)
+
+
+def test_schema_from_config(tmp_path):
+    from tests.conftest import small_config
+
+    cfg = small_config(tmp_path)
+    schema = schema_from_config(cfg)
+    assert schema.num_sparse == 26
+    assert schema.dense_dim == 13
+    assert schema.label_slot == "click"
