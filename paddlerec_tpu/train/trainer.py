@@ -80,7 +80,10 @@ class Trainer:
         # unsharded on one device.
         params = jax.jit(init_fn, out_shardings=shardings)(rng)
         tx = self.model_def.create_optimizer()
-        opt_state = jax.jit(tx.init)(params)  # moments inherit param sharding
+        # Adam moments mirror the params pytree (their tree paths contain the
+        # table names), so the same rule row-shards them; scalars replicate.
+        opt_shardings = param_shardings(jax.eval_shape(tx.init, params), self.mesh)
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
             params=params,
@@ -106,7 +109,16 @@ class Trainer:
             {"params": self.state.params, "opt_state": self.state.opt_state},
         )
         params, opt_state = ckpt_lib.load_model(root, tag, abstract)
-        self.state = self.state.replace(params=params, opt_state=opt_state)
+
+        def put_like(new, cur):
+            if hasattr(cur, "sharding"):
+                return jax.device_put(new, cur.sharding)
+            return new
+
+        self.state = self.state.replace(
+            params=jax.tree.map(put_like, params, self.state.params),
+            opt_state=jax.tree.map(put_like, opt_state, self.state.opt_state),
+        )
 
     # -- jitted steps -----------------------------------------------------------
     def _build_train_step(self):

@@ -6,21 +6,20 @@ via XLA's host-platform device-count flag, per the driver contract.
 
 import os
 
+# The axon TPU plugin overrides JAX_PLATFORMS env vars in-process, so we
+# must force the CPU platform through jax.config *before* backend init.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # persistent compile cache makes repeat test runs much faster
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_paddlerec_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 
 @pytest.fixture
