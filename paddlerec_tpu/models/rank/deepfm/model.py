@@ -16,10 +16,16 @@ import jax.numpy as jnp
 from paddlerec_tpu.core.registry import register_model
 from paddlerec_tpu.models.base import CTRModelDef
 from paddlerec_tpu.ops.embedding import SlotEmbedding
-from paddlerec_tpu.ops.layers import MLP, FMFirstOrder, fm_second_order
+from paddlerec_tpu.ops.layers import MLP, fm_second_order
 
 
 class DeepFMNet(nn.Module):
+    """TPU layout note: the FM first-order weight is folded into the shared
+    table as one extra feature lane (the packed layout rounds E=9 up to a
+    16-lane window anyway), so ONE gather serves first order, second order
+    and the deep tower — vs the reference's two separate tables
+    (models/rank/deepfm/net.py:60-103)."""
+
     vocab_size: int
     embedding_dim: int
     fc_sizes: Sequence[int]
@@ -27,14 +33,19 @@ class DeepFMNet(nn.Module):
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
-        # first order
-        first = FMFirstOrder(self.vocab_size, name="fm_first")(
-            sparse_ids, dense if self.use_dense_in_fm else None
-        )
-        # shared embeddings
-        emb = SlotEmbedding(self.vocab_size, self.embedding_dim, name="embedding")(
-            sparse_ids
-        )  # (B, S, E)
+        fused = SlotEmbedding(
+            self.vocab_size, self.embedding_dim + 1, name="embedding"
+        )(sparse_ids)  # (B, S, E+1): lanes [0:E] = emb, lane E = w1
+        emb = fused[..., : self.embedding_dim]
+        # first order: per-id scalar weight (init scale matched via 1e-2
+        # table init; reference uses a separate 1e-4-init rank-1 table)
+        first = fused[..., self.embedding_dim].sum(axis=1)
+        if self.use_dense_in_fm:
+            dense_w = self.param(
+                "dense_w", nn.initializers.normal(1e-4), (dense.shape[-1],)
+            )
+            first = first + dense @ dense_w
+        bias = self.param("fm_bias", nn.initializers.zeros, ())
         # second order
         second = fm_second_order(emb)
         # deep tower
@@ -42,7 +53,7 @@ class DeepFMNet(nn.Module):
         feat = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
         hidden = MLP(list(self.fc_sizes), name="tower")(feat)
         deep = nn.Dense(1, name="head")(hidden)[:, 0]
-        return first + second + deep
+        return first + second + deep + bias
 
 
 @register_model("rank.deepfm")

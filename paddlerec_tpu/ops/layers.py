@@ -77,13 +77,16 @@ class FMFirstOrder(nn.Module):
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: Optional[jnp.ndarray] = None):
+        from paddlerec_tpu.ops.packed_embedding import init_packed_table, packed_lookup
+
         w = self.param(
             "sparse_w",
-            nn.initializers.normal(stddev=1e-4),
-            (self.vocab_size, 1),
-            self.param_dtype,
+            lambda key: init_packed_table(
+                key, self.vocab_size, 1, stddev=1e-4, dtype=self.param_dtype
+            ),
         )
-        first = jnp.take(w, sparse_ids, axis=0).sum(axis=(-2, -1))  # (B,)
+        ids = (sparse_ids % self.vocab_size).astype(jnp.int32)
+        first = packed_lookup(w, ids, 1).sum(axis=(-2, -1))  # (B,)
         if dense is not None:
             dense_w = self.param(
                 "dense_w",
