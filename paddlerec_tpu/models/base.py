@@ -65,6 +65,14 @@ class ModelDef:
         """Optimizer from hyper_parameters.optimizer.* (reference
         dygraph_model.create_optimizer: Adam(lr) by default)."""
         cfg = self.config
+        tx = self._base_optimizer()
+        clip = cfg.hyper("clip_by_norm")
+        if clip:
+            tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        return tx
+
+    def _base_optimizer(self) -> optax.GradientTransformation:
+        cfg = self.config
         name = str(cfg.hyper("optimizer.class", "Adam")).lower()
         lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
         if name == "adam":

@@ -1,0 +1,70 @@
+"""DCN-v2: full-rank CrossNetV2 or low-rank mixture CrossNetMix.
+
+Parity target: reference models/rank/dcn_v2/net.py:214-330 — config keys
+is_Stacked (cross → dnn stacked vs parallel), use_low_rank_mixture,
+low_rank, num_experts, cross_num, fc_sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from paddlerec_tpu.core.registry import register_model
+from paddlerec_tpu.models.base import CTRModelDef
+from paddlerec_tpu.ops.embedding import SlotEmbedding
+from paddlerec_tpu.ops.layers import MLP, CrossNetMix, CrossNetV2
+
+
+class DCNv2Net(nn.Module):
+    vocab_size: int
+    embedding_dim: int
+    fc_sizes: Sequence[int]
+    cross_num: int = 2
+    is_stacked: bool = True
+    use_low_rank_mixture: bool = True
+    low_rank: int = 32
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
+        emb = SlotEmbedding(self.vocab_size, self.embedding_dim, name="embedding")(
+            sparse_ids
+        )
+        b = emb.shape[0]
+        x0 = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
+        if self.use_low_rank_mixture:
+            cross = CrossNetMix(
+                self.cross_num,
+                low_rank=self.low_rank,
+                num_experts=self.num_experts,
+                name="crossnet",
+            )
+        else:
+            cross = CrossNetV2(self.cross_num, name="crossnet")
+        cross_out = cross(x0)
+        if self.is_stacked:
+            hidden = MLP(list(self.fc_sizes), name="tower")(cross_out)
+            final = hidden
+        else:
+            deep_out = MLP(list(self.fc_sizes), name="tower")(x0)
+            final = jnp.concatenate([cross_out, deep_out], axis=-1)
+        return nn.Dense(1, name="head")(final)[:, 0]
+
+
+@register_model("rank.dcn_v2")
+class ModelDef(CTRModelDef):
+    def __init__(self, config):
+        super().__init__(config)
+        self.module = DCNv2Net(
+            self.vocab_size,
+            self.embedding_dim,
+            config.hyper("fc_sizes", [768, 768]),
+            int(config.hyper("cross_num", 2)),
+            bool(config.hyper("is_Stacked", True)),
+            bool(config.hyper("use_low_rank_mixture", True)),
+            int(config.hyper("low_rank", 32)),
+            int(config.hyper("num_experts", 4)),
+        )

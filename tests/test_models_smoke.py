@@ -10,7 +10,20 @@ import pytest
 from paddlerec_tpu.core.registry import get_model_class
 from tests.conftest import small_config
 
-RANK_MODELS = ["rank.lr", "rank.dnn", "rank.deepfm"]
+RANK_MODELS = [
+    "rank.lr",
+    "rank.dnn",
+    "rank.deepfm",
+    "rank.wide_deep",
+    "rank.fm",
+    "rank.ffm",
+    "rank.dcn",
+    "rank.dcn_v2",
+    "rank.xdeepfm",
+    "rank.dlrm",
+    "rank.gatenet",
+    "rank.autoint",
+]
 
 
 @pytest.mark.parametrize("name", RANK_MODELS)
