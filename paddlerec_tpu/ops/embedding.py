@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from paddlerec_tpu.ops.packed_embedding import (
@@ -44,6 +45,11 @@ class SlotEmbedding(nn.Module):
       hash_ids: apply `ids mod vocab_size` — the safety net the reference
         gets from string-hash preprocessing (tools/dataset/parser.cpp:36-78).
       packed: use the packed 128-lane table layout (fast path).
+      distributed: None = auto (row-shard the table over the mesh's mp axis
+        via the all_to_all engine whenever the active parallel context has
+        mp > 1); True/False forces it.  The reference's analog is the
+        `distributed_embedding`/`sparse_embedding` switch
+        (models/rank/dnn/net.py:70-84).
     """
 
     vocab_size: int
@@ -51,8 +57,16 @@ class SlotEmbedding(nn.Module):
     combiner: str = "sum"
     hash_ids: bool = True
     packed: bool = True
+    distributed: Optional[bool] = None
     param_dtype: jnp.dtype = jnp.float32
     init_stddev: float = 1e-2
+
+    def _use_distributed(self) -> bool:
+        from paddlerec_tpu.parallel import context
+
+        if self.distributed is not None:
+            return self.distributed and context.get_mesh() is not None
+        return self.packed and context.model_parallel_size() > 1
 
     @nn.compact
     def __call__(
@@ -61,7 +75,27 @@ class SlotEmbedding(nn.Module):
         if self.hash_ids:
             ids = ids % self.vocab_size
         ids = ids.astype(jnp.int32)
-        if self.packed:
+        if self._use_distributed():
+            from paddlerec_tpu.parallel import context
+            from paddlerec_tpu.parallel.embedding import get_engine
+
+            eng = get_engine(
+                context.get_mesh(),
+                self.vocab_size,
+                self.embedding_dim,
+                dtype=self.param_dtype,
+            )
+            table = self.param(
+                EMBEDDING_PARAM_NAME,
+                lambda key: jax.random.normal(
+                    key, (eng.rows, 128), self.param_dtype
+                )
+                * self.init_stddev,
+            )
+            flat_ids = ids.reshape(ids.shape[0], -1)
+            vecs = eng.lookup(table, flat_ids)
+            vecs = vecs.reshape(ids.shape + (self.embedding_dim,))
+        elif self.packed:
             table = self.param(
                 EMBEDDING_PARAM_NAME,
                 lambda key: init_packed_table(

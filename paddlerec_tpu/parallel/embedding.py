@@ -188,6 +188,22 @@ def _make_exchange_fns(mesh: Mesh, mp: int, rows_local: int, capacity: int,
     return fwd, bwd
 
 
+@functools.lru_cache(maxsize=64)
+def get_engine(
+    mesh: Mesh,
+    vocab_size: int,
+    embedding_dim: int,
+    capacity_factor: float = 1.5,
+    dtype=jnp.float32,
+) -> "ShardedEmbedding":
+    """Cached engine per (mesh, table) signature — shard_map closures are
+    rebuilt only on a new ids shape."""
+    return ShardedEmbedding(
+        mesh, vocab_size, embedding_dim,
+        capacity_factor=capacity_factor, dtype=dtype,
+    )
+
+
 class ShardedEmbedding:
     """Functional sharded-embedding op bound to a mesh.
 
@@ -253,27 +269,40 @@ class ShardedEmbedding:
 
     def _build(self, ids_shape, with_overflow: bool):
         n_global = int(np.prod(ids_shape))
-        n_dev = n_global // (self.dp * self.mp)  # flat ids shard over both axes
+        n_devices = self.dp * self.mp
+        # pad the flat id list so it splits evenly over every device;
+        # pad entries use an out-of-range physical row → routed as invalid
+        n_padded = -(-n_global // n_devices) * n_devices
+        n_dev = n_padded // n_devices
         capacity = bucket_capacity(n_dev, self.mp, self.capacity_factor)
         fwd_x, bwd_x = _make_exchange_fns(
             self.mesh, self.mp, self.rows_local, capacity, 128
         )
         w, pack, e = self.w, self.pack, self.embedding_dim
         vocab = self.vocab_size
+        sentinel = self.rows  # invalid physical row
+
+        def _flat_phys_sub(ids):
+            ids = (ids % vocab).astype(jnp.int32)
+            flat = ids.reshape(-1)
+            phys = flat // pack
+            sub = flat % pack
+            if n_padded != n_global:
+                phys = jnp.concatenate(
+                    [phys, jnp.full((n_padded - n_global,), sentinel, jnp.int32)]
+                )
+            return phys, sub
 
         @jax.custom_vjp
         def lookup(table, ids):
             return _fwd_impl(table, ids)[0]
 
         def _fwd_impl(table, ids):
-            ids = (ids % vocab).astype(jnp.int32)
-            flat = ids.reshape(-1)
-            phys = flat // pack
-            sub = flat % pack
-            rows, overflow = fwd_x(table, phys)  # (N, 128), (dp, mp)
-            rows = rows.reshape(-1, pack, w)
+            phys, sub = _flat_phys_sub(ids)
+            rows, overflow = fwd_x(table, phys)  # (N', 128), (devices, 1)
+            rows = rows[:n_global].reshape(-1, pack, w)
             onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (flat.shape[0], pack), 1)
+                jax.lax.broadcasted_iota(jnp.int32, (n_global, pack), 1)
                 == sub[:, None]
             )
             vecs = jnp.sum(rows * onehot[..., None].astype(rows.dtype), axis=1)
@@ -285,20 +314,19 @@ class ShardedEmbedding:
 
         def bwd(res, g):
             ids, table = res
-            ids = (ids % vocab).astype(jnp.int32)
-            flat = ids.reshape(-1)
-            phys = flat // pack
-            sub = flat % pack
+            phys, sub = _flat_phys_sub(ids)
             g = g.reshape(-1, e).astype(table.dtype)
             if w != e:
                 g = jnp.pad(g, ((0, 0), (0, w - e)))
             onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (flat.shape[0], pack), 1)
+                jax.lax.broadcasted_iota(jnp.int32, (n_global, pack), 1)
                 == sub[:, None]
             )
             grows = (onehot[..., None].astype(g.dtype) * g[:, None, :]).reshape(
                 -1, 128
             )
+            if n_padded != n_global:
+                grows = jnp.pad(grows, ((0, n_padded - n_global), (0, 0)))
             dtable = bwd_x(grows, phys)
             return (dtable, None)
 

@@ -34,6 +34,7 @@ from paddlerec_tpu.data.slot_reader import (
     list_data_files,
     shard_files,
 )
+from paddlerec_tpu.parallel import context as parallel_context
 from paddlerec_tpu.parallel.mesh import mesh_from_config
 from paddlerec_tpu.parallel.sharding import batch_sharding, param_shardings
 from paddlerec_tpu.train import checkpoint as ckpt_lib
@@ -48,12 +49,15 @@ logger = logging.getLogger("paddlerec_tpu")
 class Trainer:
     def __init__(self, config: Config, model_def=None, mesh=None):
         self.config = config
+        self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        # announce the mesh so layers with distributed paths (SlotEmbedding)
+        # pick it up at trace time
+        parallel_context.set_mesh(self.mesh)
         if model_def is None:
             from paddlerec_tpu.core.registry import load_model_def
 
             model_def = load_model_def(config)
         self.model_def = model_def
-        self.mesh = mesh if mesh is not None else mesh_from_config(config)
         self.batch_sharding = batch_sharding(self.mesh)
         self.replicated = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec()
@@ -67,6 +71,7 @@ class Trainer:
 
     # -- setup ----------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None) -> TrainState:
+        parallel_context.set_mesh(self.mesh)
         seed = int(self.config.runner("seed", 2023) if seed is None else seed)
         rng = jax.random.PRNGKey(seed)
         batch = jax.tree.map(jnp.asarray, self.model_def.example_batch(2))
@@ -186,6 +191,7 @@ class Trainer:
 
     # -- loops ---------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
+        parallel_context.set_mesh(self.mesh)
         cfg = self.config
         epochs = int(cfg.runner("epochs", 1))
         batch_size = int(cfg.runner("train_batch_size", 32))
@@ -278,6 +284,7 @@ class Trainer:
         return last_metrics
 
     def evaluate(self, epoch_tag=None) -> Dict[str, float]:
+        parallel_context.set_mesh(self.mesh)
         cfg = self.config
         batch_size = int(cfg.runner("infer_batch_size", 32))
         print_interval = int(cfg.runner("print_interval", 10))

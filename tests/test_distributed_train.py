@@ -1,0 +1,53 @@
+"""End-to-end distributed training: dp×mp mesh, sharded table, full trainer."""
+
+import jax
+import numpy as np
+import pytest
+
+from paddlerec_tpu.data.synthetic import write_criteo_sample
+from paddlerec_tpu.parallel import sharding as shd
+from paddlerec_tpu.parallel.mesh import MP_AXIS, create_mesh
+from paddlerec_tpu.train.trainer import Trainer
+from tests.conftest import small_config
+
+
+@pytest.fixture
+def low_shard_threshold():
+    old = shd.MIN_ROWS_TO_SHARD
+    shd.MIN_ROWS_TO_SHARD = 64
+    yield
+    shd.MIN_ROWS_TO_SHARD = old
+
+
+def test_trainer_on_dp_mp_mesh(tmp_path, low_shard_threshold):
+    write_criteo_sample(str(tmp_path / "train"), num_lines=256, num_files=4,
+                        vocab=10000)
+    mesh = create_mesh(2, 4)
+    cfg = small_config(tmp_path, model="rank.deepfm")
+    cfg["hyper_parameters.distributed_embedding"] = 1
+    trainer = Trainer(cfg, mesh=mesh)
+    metrics = trainer.train()
+    assert np.isfinite(metrics["auc"])
+    assert metrics["total_ins"] > 0
+
+    # the shared table must actually be row-sharded over mp
+    emb = trainer.state.params["embedding"]["embedding"]
+    spec = emb.sharding.spec
+    assert spec and spec[0] == MP_AXIS, f"table not sharded: {spec}"
+    # and its adam moments follow
+    mu = jax.tree.leaves(
+        jax.tree.map(lambda x: x, trainer.state.opt_state)
+    )
+    big = [x for x in mu if hasattr(x, "shape") and x.shape == emb.shape]
+    assert big and all(x.sharding.spec == spec for x in big)
+
+
+def test_dp_only_and_mp_only_meshes(tmp_path, low_shard_threshold):
+    write_criteo_sample(str(tmp_path / "train"), num_lines=128, num_files=2,
+                        vocab=10000)
+    for dp, mp in [(8, 1), (1, 8)]:
+        cfg = small_config(tmp_path, model="rank.dnn")
+        cfg["hyper_parameters.distributed_embedding"] = 1
+        trainer = Trainer(cfg, mesh=create_mesh(dp, mp))
+        metrics = trainer.train()
+        assert np.isfinite(metrics["auc"]), (dp, mp)
