@@ -31,10 +31,22 @@ class ModelDef:
 
     # which streaming metric family the trainer should run
     metrics: str = "auc"
+    # per-task metric names; multitask models override (e.g. ["ctr","ctcvr"])
+    metric_names = ("auc",)
 
     def __init__(self, config: Config):
         self.config = config
         self.module: nn.Module = None  # set by subclass
+
+    def metric_updates(self, aux: Aux):
+        """name → (preds, labels, mask) for each streaming AUC to update."""
+        return {
+            self.metric_names[0]: (
+                aux["predictions"],
+                aux["labels"],
+                aux.get("mask"),
+            )
+        }
 
     # -- setup ---------------------------------------------------------------
     def example_batch(self, batch_size: int) -> Dict[str, np.ndarray]:

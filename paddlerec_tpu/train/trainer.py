@@ -126,6 +126,13 @@ class Trainer:
         )
 
     # -- jitted steps -----------------------------------------------------------
+    def _update_metrics(self, metric_state, aux):
+        for name, (preds, labels, mask) in self.model_def.metric_updates(aux).items():
+            metric_state[name] = metrics_lib.update_auc_state(
+                metric_state[name], preds, labels, mask
+            )
+        return metric_state
+
     def _build_train_step(self):
         model_def = self.model_def
         use_auc = self.use_auc
@@ -139,12 +146,7 @@ class Trainer:
             )
             state = state.apply_gradients(grads)
             if use_auc:
-                metric_state = metrics_lib.update_auc_state(
-                    metric_state,
-                    aux["predictions"],
-                    aux["labels"],
-                    aux.get("mask"),
-                )
+                metric_state = self._update_metrics(metric_state, aux)
             return state, metric_state, loss
 
         return jax.jit(train_step, donate_argnums=(0, 2))
@@ -156,12 +158,7 @@ class Trainer:
         def infer_step(state: TrainState, batch, metric_state):
             aux = model_def.infer_forward(state.params, batch)
             if use_auc:
-                metric_state = metrics_lib.update_auc_state(
-                    metric_state,
-                    aux["predictions"],
-                    aux["labels"],
-                    aux.get("mask"),
-                )
+                metric_state = self._update_metrics(metric_state, aux)
             return metric_state, aux
 
         return jax.jit(infer_step, donate_argnums=(2,))
@@ -187,7 +184,32 @@ class Trainer:
             yield jax.device_put(batch, self.batch_sharding)
 
     def _init_metric_state(self):
-        return jax.device_put(metrics_lib.init_auc_state(), self.replicated)
+        states = {
+            name: metrics_lib.init_auc_state()
+            for name in self.model_def.metric_names
+        }
+        return jax.device_put(states, self.replicated)
+
+    def _compute_metrics(self, metric_state):
+        """Host-side bundle; primary task flattened to top-level keys."""
+        names = list(self.model_def.metric_names)
+        out = dict(metrics_lib.compute_metrics(metric_state[names[0]]))
+        for name in names[1:]:
+            out[f"auc_{name}"] = metrics_lib.compute_metrics(metric_state[name])[
+                "auc"
+            ]
+        return out
+
+    def _auc_str(self, metric_state):
+        names = self.model_def.metric_names
+        if len(names) == 1:
+            m = metrics_lib.compute_metrics(metric_state[names[0]])
+            return f"auc: {m['auc']:.6f}, "
+        parts = [
+            f"auc_{n}: {metrics_lib.compute_metrics(metric_state[n])['auc']:.6f}"
+            for n in names
+        ]
+        return ", ".join(parts) + ", " 
 
     # -- loops ---------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -236,10 +258,7 @@ class Trainer:
                 if (batch_id + 1) % print_interval == 0:
                     jax.block_until_ready(loss)
                     train_cost += time.time() - step_start
-                    auc_str = ""
-                    if self.use_auc:
-                        m = metrics_lib.compute_metrics(metric_state)
-                        auc_str = f"auc: {m['auc']:.6f}, "
+                    auc_str = self._auc_str(metric_state) if self.use_auc else ""
                     logger.info(
                         f"epoch: {epoch}, batch_id: {batch_id}, {auc_str}"
                         f"loss: {float(jax.device_get(loss)):.6f}, "
@@ -258,7 +277,7 @@ class Trainer:
                 jax.block_until_ready(loss)
             epoch_time = time.time() - epoch_begin
             last_metrics = (
-                metrics_lib.compute_metrics(metric_state) if self.use_auc else {}
+                self._compute_metrics(metric_state) if self.use_auc else {}
             )
             if self.use_auc:
                 logger.info(
@@ -306,10 +325,11 @@ class Trainer:
             metric_state, aux = self._infer_step(self.state, batch, metric_state)
             total += len(batch["label"])
             if (batch_id + 1) % print_interval == 0 and self.use_auc:
-                m = metrics_lib.compute_metrics(metric_state)
-                logger.info(f"infer batch_id: {batch_id}, auc: {m['auc']:.6f}")
+                logger.info(
+                    f"infer batch_id: {batch_id}, {self._auc_str(metric_state)}"
+                )
         elapsed = time.time() - begin
-        metrics = metrics_lib.compute_metrics(metric_state) if self.use_auc else {}
+        metrics = self._compute_metrics(metric_state) if self.use_auc else {}
         if self.use_auc:
             logger.info(
                 "{}, infer time: {:.2f} s, ips: {:.2f} ins/s".format(
