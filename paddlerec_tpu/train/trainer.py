@@ -183,6 +183,11 @@ class Trainer:
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
 
+    @staticmethod
+    def _batch_rows(batch) -> int:
+        lead = batch.get("mask", next(iter(batch.values())))
+        return int(lead.shape[0])
+
     def _init_metric_state(self):
         states = {
             name: metrics_lib.init_auc_state()
@@ -252,7 +257,7 @@ class Trainer:
                 self.state, metric_state, loss = self._train_step(
                     self.state, batch, metric_state
                 )
-                n = len(batch["label"])
+                n = self._batch_rows(batch)
                 interval_samples += n
                 total_samples += n
                 if (batch_id + 1) % print_interval == 0:
@@ -323,7 +328,7 @@ class Trainer:
         total = 0
         for batch_id, batch in enumerate(self._device_batches(dataset)):
             metric_state, aux = self._infer_step(self.state, batch, metric_state)
-            total += len(batch["label"])
+            total += self._batch_rows(batch)
             if (batch_id + 1) % print_interval == 0 and self.use_auc:
                 logger.info(
                     f"infer batch_id: {batch_id}, {self._auc_str(metric_state)}"
