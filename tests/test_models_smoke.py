@@ -23,6 +23,12 @@ RANK_MODELS = [
     "rank.dlrm",
     "rank.gatenet",
     "rank.autoint",
+    "rank.difm",
+    "rank.deepfefm",
+    "rank.flen",
+    "rank.fgcnn",
+    "rank.fat_deepffm",
+    "rank.slot_dnn",
 ]
 
 

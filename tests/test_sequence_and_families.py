@@ -22,6 +22,21 @@ def din_cfg():
     })
 
 
+def bst_cfg():
+    c = din_cfg().copy()
+    c["hyper_parameters.n_head"] = 2
+    c["hyper_parameters.ffn_dim"] = 32
+    c["hyper_parameters.fc_sizes"] = [32, 16]
+    return c
+
+
+def dien_cfg():
+    c = din_cfg().copy()
+    c["hyper_parameters.gru_hidden"] = 16
+    c["hyper_parameters.fc_sizes"] = [32, 16]
+    return c
+
+
 def dssm_cfg():
     return Config({
         "hyper_parameters.trigram_d": 128,
@@ -44,7 +59,13 @@ def ncf_cfg():
     })
 
 
-CASES = [("rank.din", din_cfg), ("match.dssm", dssm_cfg), ("recall.ncf", ncf_cfg)]
+CASES = [
+    ("rank.din", din_cfg),
+    ("rank.bst", bst_cfg),
+    ("rank.dien", dien_cfg),
+    ("match.dssm", dssm_cfg),
+    ("recall.ncf", ncf_cfg),
+]
 
 
 @pytest.mark.parametrize("name,cfg_fn", CASES)
