@@ -1,0 +1,95 @@
+"""Export a trained checkpoint as a self-contained inference artifact.
+
+The reference exports a static inference program via paddle.jit.to_static
+(tools/to_static.py:48-96) consumed by paddle_inference / serving.  The
+TPU-native artifact is:
+
+    <export_dir>/
+      config.yaml        — the (flattened) model config, self-describing
+      params/            — orbax checkpoint of the parameters
+
+Loading reconstructs the ModelDef from the registry and jits
+``infer_forward`` — one artifact serves Python batch inference
+(tools/predict.py), the serving demo (serving/), and offline eval.
+
+Usage:
+    python -m paddlerec_tpu.tools.export -m config.yaml \
+        -o runner.model_init_path=output_model_deepfm/2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Tuple
+
+import jax
+
+from paddlerec_tpu.core.config import Config, load_config, parse_overrides, resolve_path
+from paddlerec_tpu.train import checkpoint as ckpt_lib
+from paddlerec_tpu.train.trainer import Trainer, logger
+
+
+def export_model(config: Config, export_dir: str, epoch_tag=None) -> str:
+    trainer = Trainer(config)
+    trainer.init_state()
+    init_path = resolve_path(config, "runner.model_init_path")
+    if epoch_tag is not None:
+        load_root = resolve_path(config, "runner.infer_load_path")
+        trainer.load_checkpoint(load_root, epoch_tag)
+    elif init_path:
+        trainer.load_checkpoint(
+            os.path.dirname(init_path), os.path.basename(init_path)
+        )
+    os.makedirs(export_dir, exist_ok=True)
+    ckpt_lib.save_params_only(
+        jax.device_get(trainer.state.params), export_dir, "params"
+    )
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        json.dump(
+            {k: v for k, v in config.items() if _jsonable(v)}, f, indent=2
+        )
+    logger.info(f"exported inference artifact to {export_dir}")
+    return export_dir
+
+
+def _jsonable(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
+
+
+def load_exported(export_dir: str) -> Tuple[Any, Any]:
+    """Returns (model_def, params) ready for jit(infer_forward)."""
+    from paddlerec_tpu.core.registry import load_model_def
+
+    with open(os.path.join(export_dir, "config.json")) as f:
+        config = Config(json.load(f))
+    model_def = load_model_def(config)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        model_def.init_params(jax.random.PRNGKey(0)),
+    )
+    params = ckpt_lib.load_params_only(export_dir, "params", abstract)
+    return model_def, params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="export inference artifact")
+    parser.add_argument("-m", "--config_yaml", required=True)
+    parser.add_argument("-o", "--opt", nargs="*", default=None)
+    parser.add_argument("--export_dir", default=None)
+    parser.add_argument("--epoch", default=None)
+    args = parser.parse_args(argv)
+    config = load_config(args.config_yaml, parse_overrides(args.opt))
+    export_dir = args.export_dir or resolve_path(
+        config, "runner.export_dir", "exported_model"
+    )
+    export_model(config, export_dir, args.epoch)
+
+
+if __name__ == "__main__":
+    main()
