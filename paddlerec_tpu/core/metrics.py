@@ -188,6 +188,41 @@ def metrics_str(metrics: Dict[str, float], prefix: str = "") -> str:
 
 
 # ---------------------------------------------------------------------------
+# Streaming accuracy (classification models: dselect_k, maml — the
+# reference tracks these with paddle.metric.Accuracy / ad-hoc counters)
+# ---------------------------------------------------------------------------
+
+def init_acc_state() -> MetricState:
+    return {
+        "correct": jnp.zeros((), jnp.float32),
+        "total": jnp.zeros((), jnp.float32),
+    }
+
+
+def update_acc_state(
+    state: MetricState,
+    correct: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> MetricState:
+    """Accumulate per-example correctness flags (floats in {0,1})."""
+    correct = correct.reshape(-1).astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(correct)
+    else:
+        mask = mask.reshape(-1).astype(jnp.float32)
+    return {
+        "correct": state["correct"] + jnp.sum(correct * mask),
+        "total": state["total"] + jnp.sum(mask),
+    }
+
+
+def compute_acc(state: MetricState) -> float:
+    host = jax.tree.map(np.asarray, state)
+    total = float(host["total"])
+    return float(host["correct"]) / total if total > 0 else 0.0
+
+
+# ---------------------------------------------------------------------------
 # Ranking / recall metrics (for match & recall model families)
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,48 @@ class ModelDef:
             )
         }
 
+    # -- streaming-metric hooks (trainer delegates; AUC family by default;
+    # accuracy models override all four — see AccuracyModelDef) --------------
+    def init_metric_state(self):
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        return {
+            name: metrics_lib.init_auc_state() for name in self.metric_names
+        }
+
+    def update_metric_state(self, metric_state, aux: Aux):
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        out = dict(metric_state)
+        for name, (preds, labels, mask) in self.metric_updates(aux).items():
+            out[name] = metrics_lib.update_auc_state(out[name], preds, labels, mask)
+        return out
+
+    def compute_metric_bundle(self, metric_state) -> Dict[str, float]:
+        """Host-side bundle; primary task flattened to top-level keys."""
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        names = list(self.metric_names)
+        out = dict(metrics_lib.compute_metrics(metric_state[names[0]]))
+        for name in names[1:]:
+            out[f"auc_{name}"] = metrics_lib.compute_metrics(
+                metric_state[name]
+            )["auc"]
+        return out
+
+    def metric_log_str(self, metric_state) -> str:
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        names = self.metric_names
+        if len(names) == 1:
+            m = metrics_lib.compute_metrics(metric_state[names[0]])
+            return f"auc: {m['auc']:.6f}, "
+        parts = [
+            f"auc_{n}: {metrics_lib.compute_metrics(metric_state[n])['auc']:.6f}"
+            for n in names
+        ]
+        return ", ".join(parts) + ", "
+
     # -- setup ---------------------------------------------------------------
     def example_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         raise NotImplementedError
@@ -112,6 +154,44 @@ def binary_logloss(
     if mask is not None:
         return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return per.mean()
+
+
+class AccuracyModelDef(ModelDef):
+    """Base for classification models tracked by streaming accuracy
+    (reference: paddle.metric.Accuracy in dselect_k/dygraph_model.py:64-69,
+    ad-hoc correct counters in maml/dygraph_model.py:99).
+
+    ``metric_updates`` must return name → (correct_flags, mask)."""
+
+    metrics = "acc"
+
+    def init_metric_state(self):
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        return {
+            name: metrics_lib.init_acc_state() for name in self.metric_names
+        }
+
+    def update_metric_state(self, metric_state, aux: Aux):
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        out = dict(metric_state)
+        for name, (correct, mask) in self.metric_updates(aux).items():
+            out[name] = metrics_lib.update_acc_state(out[name], correct, mask)
+        return out
+
+    def compute_metric_bundle(self, metric_state) -> Dict[str, float]:
+        from paddlerec_tpu.core import metrics as metrics_lib
+
+        return {
+            f"acc_{name}" if len(self.metric_names) > 1 else "acc":
+                metrics_lib.compute_acc(metric_state[name])
+            for name in self.metric_names
+        }
+
+    def metric_log_str(self, metric_state) -> str:
+        bundle = self.compute_metric_bundle(metric_state)
+        return ", ".join(f"{k}: {v:.6f}" for k, v in bundle.items()) + ", "
 
 
 class CTRModelDef(ModelDef):

@@ -40,10 +40,18 @@ from paddlerec_tpu.parallel.sharding import batch_sharding, param_shardings
 from paddlerec_tpu.train import checkpoint as ckpt_lib
 from paddlerec_tpu.train.state import TrainState
 
-logging.basicConfig(
-    format="%(asctime)s - %(levelname)s - %(message)s", level=logging.INFO
-)
+# own handler + propagate=False: the environment (jax plugins, absl) may
+# have already claimed the root logger at WARNING, which would silently
+# swallow the reference-format INFO telemetry.
 logger = logging.getLogger("paddlerec_tpu")
+if not logger.handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(
+        logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    )
+    logger.addHandler(_h)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
 
 
 class Trainer:
@@ -66,7 +74,7 @@ class Trainer:
         self._infer_step = None
         self.state: Optional[TrainState] = None
         self.use_auc = bool(config.runner("use_auc", True)) and (
-            model_def.metrics == "auc"
+            model_def.metrics in ("auc", "acc")
         )
 
     # -- setup ----------------------------------------------------------------
@@ -127,11 +135,7 @@ class Trainer:
 
     # -- jitted steps -----------------------------------------------------------
     def _update_metrics(self, metric_state, aux):
-        for name, (preds, labels, mask) in self.model_def.metric_updates(aux).items():
-            metric_state[name] = metrics_lib.update_auc_state(
-                metric_state[name], preds, labels, mask
-            )
-        return metric_state
+        return self.model_def.update_metric_state(metric_state, aux)
 
     def _build_train_step(self):
         model_def = self.model_def
@@ -189,32 +193,22 @@ class Trainer:
         return int(lead.shape[0])
 
     def _init_metric_state(self):
-        states = {
-            name: metrics_lib.init_auc_state()
-            for name in self.model_def.metric_names
-        }
-        return jax.device_put(states, self.replicated)
+        return jax.device_put(
+            self.model_def.init_metric_state(), self.replicated
+        )
 
     def _compute_metrics(self, metric_state):
-        """Host-side bundle; primary task flattened to top-level keys."""
-        names = list(self.model_def.metric_names)
-        out = dict(metrics_lib.compute_metrics(metric_state[names[0]]))
-        for name in names[1:]:
-            out[f"auc_{name}"] = metrics_lib.compute_metrics(metric_state[name])[
-                "auc"
-            ]
-        return out
+        return self.model_def.compute_metric_bundle(metric_state)
 
     def _auc_str(self, metric_state):
-        names = self.model_def.metric_names
-        if len(names) == 1:
-            m = metrics_lib.compute_metrics(metric_state[names[0]])
-            return f"auc: {m['auc']:.6f}, "
-        parts = [
-            f"auc_{n}: {metrics_lib.compute_metrics(metric_state[n])['auc']:.6f}"
-            for n in names
-        ]
-        return ", ".join(parts) + ", " 
+        return self.model_def.metric_log_str(metric_state)
+
+    def _bundle_str(self, metrics: Dict[str, float], prefix: str) -> str:
+        if "auc" in metrics:
+            return metrics_lib.metrics_str(metrics, prefix)
+        return prefix + " " + ", ".join(
+            f"{k}={v:.6f}" for k, v in metrics.items()
+        )
 
     # -- loops ---------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -288,7 +282,7 @@ class Trainer:
                 logger.info(
                     "epoch: {} done, {}, epoch time: {:.2f} s, ips: {:.2f} ins/s".format(
                         epoch,
-                        metrics_lib.metrics_str(last_metrics, "train"),
+                        self._bundle_str(last_metrics, "train"),
                         epoch_time,
                         total_samples / max(epoch_time, 1e-9),
                     )
@@ -338,7 +332,7 @@ class Trainer:
         if self.use_auc:
             logger.info(
                 "{}, infer time: {:.2f} s, ips: {:.2f} ins/s".format(
-                    metrics_lib.metrics_str(metrics, "infer"),
+                    self._bundle_str(metrics, "infer"),
                     elapsed,
                     total / max(elapsed, 1e-9),
                 )
