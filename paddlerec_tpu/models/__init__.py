@@ -38,6 +38,7 @@ _BUILTIN = [
     "rank.fat_deepffm",
     "rank.bert4rec",
     "rank.fastformer",
+    "rank.deeprec",
     "rank.slot_dnn",
     "rank.logistic_regression",
     "multitask.mmoe",

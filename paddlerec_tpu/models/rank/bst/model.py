@@ -18,29 +18,7 @@ from paddlerec_tpu.core.registry import register_model
 from paddlerec_tpu.models.rank.din.model import DINDataset
 from paddlerec_tpu.models.base import Aux, ModelDef, binary_logloss
 from paddlerec_tpu.ops.layers import MLP
-
-
-class TransformerBlock(nn.Module):
-    num_heads: int
-    head_dim: int
-    ffn_dim: int
-
-    @nn.compact
-    def __call__(self, x, mask):  # x: (B, T, D), mask: (B, T)
-        b, t, d = x.shape
-        h, hd = self.num_heads, self.head_dim
-        q = nn.Dense(h * hd, name="q")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        k = nn.Dense(h * hd, name="k")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        v = nn.Dense(h * hd, name="v")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
-        scores = jnp.where(mask[:, None, None, :] > 0, scores, -1e9)
-        weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
-        out = nn.Dense(d, name="proj")(out)
-        x = nn.LayerNorm(name="ln1")(x + out)
-        ffn = nn.Dense(d, name="ffn2")(nn.relu(nn.Dense(self.ffn_dim, name="ffn1")(x)))
-        return nn.LayerNorm(name="ln2")(x + ffn)
+from paddlerec_tpu.ops.sequence import TransformerBlock
 
 
 class BSTNet(nn.Module):

@@ -1,0 +1,66 @@
+"""Custom optimizers beyond optax's built-ins.
+
+GRDA (generalized regularized dual averaging) reproduces the AutoFIS
+interaction-gate search optimizer (reference
+models/rank/autofis/optimizer.py:18-75): a dual-averaging accumulator with a
+time-growing soft-threshold, driving gate weights exactly to zero so the
+search stage selects a sparse set of feature interactions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class GrdaState(NamedTuple):
+    accumulator: optax.Params
+    l1_accumulation: jnp.ndarray
+    count: jnp.ndarray
+
+
+def grda(
+    learning_rate: float = 0.01, c: float = 0.0, mu: float = 0.7
+) -> optax.GradientTransformation:
+    """p_{t+1} = sign(a_{t+1}) · max(|a_{t+1}| − ℓ1(t), 0), where
+    a_{t+1} = a_t + [t = 0]·p_t − lr·g_t and
+    ℓ1(t) = c · lr^{0.5+μ} · (t+1)^μ accumulates over steps.
+
+    Matches SimpleGrda.step (autofis/optimizer.py:36-60).  Note: optax
+    transformations return *updates*; we emit (new_p − p) so
+    ``optax.apply_updates`` lands on new_p exactly.
+    """
+
+    def init_fn(params):
+        return GrdaState(
+            accumulator=jax.tree.map(jnp.zeros_like, params),
+            l1_accumulation=jnp.zeros((), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("grda requires params")
+        t = state.count.astype(jnp.float32)
+        l1_diff = (
+            c * learning_rate ** (0.5 + mu) * (t + 1.0) ** mu
+            - c * learning_rate ** (0.5 + mu) * t**mu
+        )
+        l1_acc = state.l1_accumulation + l1_diff
+        first = jnp.maximum(1.0 - t, 0.0)
+
+        new_acc = jax.tree.map(
+            lambda p, g, a: a + first * p - learning_rate * g,
+            params, grads, state.accumulator,
+        )
+        updates = jax.tree.map(
+            lambda p, a: jnp.sign(a) * jnp.maximum(jnp.abs(a) - l1_acc, 0.0)
+            - p,
+            params, new_acc,
+        )
+        return updates, GrdaState(new_acc, l1_acc, state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -140,9 +140,16 @@ class Trainer:
     def _build_train_step(self):
         model_def = self.model_def
         use_auc = self.use_auc
+        # models with stochastic layers (L0 gates, dropout) take a per-step
+        # rng derived from the global seed + step counter
+        stochastic = bool(getattr(model_def, "stochastic", False))
+        base_key = jax.random.PRNGKey(int(self.config.runner("seed", 2023)))
 
         def train_step(state: TrainState, batch, metric_state):
             def loss_fn(params):
+                if stochastic:
+                    rng = jax.random.fold_in(base_key, state.step)
+                    return model_def.train_forward(params, batch, rng=rng)
                 return model_def.train_forward(params, batch)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
