@@ -61,6 +61,14 @@ _BUILTIN = [
     "recall.ensfm",
     "recall.mhcn",
     "recall.tisas",
+    "treebased.tdm",
+    "graph.gnn",
+    "graph.lightgcn",
+    "graph.transformer_conv",
+    "graph.deepwalk_million",
+    "rl.a2c",
+    "demo.movie_recall",
+    "demo.movie_rank",
     "contentunderstanding.tagspace",
     "contentunderstanding.textcnn",
 ]
