@@ -252,7 +252,12 @@ class Trainer:
             interval_samples = 0
             total_samples = 0
             loss = None
+            profiler_options = cfg.runner("profiler_options")
             for batch_id, batch in enumerate(self._device_batches(dataset)):
+                if profiler_options:
+                    from paddlerec_tpu.utils.profiler import add_profiler_step
+
+                    add_profiler_step(profiler_options)
                 reader_cost += time.time() - reader_start
                 step_start = time.time()
                 self.state, metric_state, loss = self._train_step(
