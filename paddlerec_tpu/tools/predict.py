@@ -48,6 +48,13 @@ def run_predict(export_dir: str, data_dir: str, batch_size: int,
         t0 = time.time()
         aux = infer(params, batch)
         preds = aux.get("predictions")
+        if preds is None:
+            # multitask/regression models name their outputs differently
+            # (probs, scores, ctr...) — take the first float array
+            for key in ("probs", "scores", "ctr", "outputs"):
+                if key in aux:
+                    preds = aux[key]
+                    break
         if preds is not None:
             _ = np.asarray(preds)  # host readback = honest sync
             outputs.append(np.asarray(preds))

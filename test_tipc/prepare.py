@@ -1,0 +1,53 @@
+"""Generate the tiny TIPC sample datasets (the prepare.sh analog).
+
+usage: python test_tipc/prepare.py [criteo|census|aliccp|all] [out_root]
+"""
+import os
+import sys
+
+import numpy as np
+
+
+def write_criteo(root):
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+    write_criteo_sample(os.path.join(root, "train"), num_lines=256,
+                        num_files=2, vocab=10000)
+
+
+def write_census(root, feature_size=64):
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "census")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(256):
+            vals = [str(rng.randint(0, 2)), str(rng.randint(0, 2))] + [
+                f"{v:.4f}" for v in rng.rand(feature_size)
+            ]
+            f.write(",".join(vals) + "\n")
+
+
+def write_aliccp(root):
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "aliccp")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for i in range(256):
+            click = int(rng.rand() < 0.5)
+            conv = int(click and rng.rand() < 0.4)
+            toks = [f"101:{rng.randint(1, 9999)}",
+                    f"205:{rng.randint(1, 9999)}",
+                    f"301:{rng.randint(1, 9999)}"]
+            f.write(f"{i},{click},{conv},idx,{','.join(toks)}\n")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    root = sys.argv[2] if len(sys.argv) > 2 else "test_tipc/data"
+    if which in ("criteo", "all"):
+        write_criteo(root)
+    if which in ("census", "all"):
+        write_census(root)
+    if which in ("aliccp", "all"):
+        write_aliccp(root)
+    print(f"wrote TIPC sample data under {root}")

@@ -1,0 +1,97 @@
+"""UAPI RankModel facade + TIPC harness."""
+
+import os
+
+import numpy as np
+import pytest
+
+from paddlerec_tpu.uapi import RankModel, UnsupportedAPIError
+
+
+@pytest.fixture
+def criteo_dir(tmp_path):
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+    out = tmp_path / "train"
+    write_criteo_sample(str(out), num_lines=64, num_files=1, vocab=5000)
+    return str(out)
+
+
+SMALL = {
+    "hyper_parameters.sparse_inputs_slots": 27,
+    "hyper_parameters.dense_input_dim": 13,
+    "hyper_parameters.sparse_feature_number": 5000,
+    "hyper_parameters.sparse_feature_dim": 8,
+    "hyper_parameters.fc_sizes": [32, 16],
+    "runner.train_batch_size": 16,
+    "runner.infer_batch_size": 16,
+    "runner.epochs": 1,
+}
+
+
+def test_uapi_train_evaluate_export_infer(tmp_path, criteo_dir):
+    model = RankModel("dnn", config=dict(SMALL))
+    metrics = model.train(dataset=criteo_dir,
+                          save_dir=str(tmp_path / "ckpt"))
+    assert "auc" in metrics
+    ev = model.evaluate(dataset=criteo_dir,
+                        weight_path=str(tmp_path / "ckpt" / "0"))
+    assert 0.0 <= ev["auc"] <= 1.0
+    export_dir = str(tmp_path / "export")
+    model.export(str(tmp_path / "ckpt" / "0"), export_dir)
+    assert os.path.exists(os.path.join(export_dir, "config.json"))
+    out = model.infer(export_dir, criteo_dir, str(tmp_path / "infer"))
+    preds = [float(x) for x in open(out)]
+    assert len(preds) == 64
+    assert all(0.0 <= p <= 1.0 for p in preds)
+
+
+def test_uapi_unknown_model():
+    with pytest.raises(ValueError, match="unknown model"):
+        RankModel("not_a_model")
+
+
+def test_uapi_precheck():
+    model = RankModel("dnn", config=dict(SMALL))
+    with pytest.raises(UnsupportedAPIError, match="train_data_dir"):
+        model.train()
+
+
+def test_uapi_compression_unsupported():
+    model = RankModel("dnn", config=dict(SMALL))
+    with pytest.raises(UnsupportedAPIError):
+        model.compression()
+
+
+def test_tipc_parse_and_run(tmp_path, criteo_dir):
+    from paddlerec_tpu.tools.tipc import parse_config_txt, run_mode
+
+    cfg_txt = tmp_path / "train_infer_python.txt"
+    cfg_txt.write_text(
+        "model_name:dnn\n"
+        "runner.model:rank.dnn\n"
+        f"runner.train_data_dir:{criteo_dir}\n"
+        f"runner.test_data_dir:{criteo_dir}\n"
+        "runner.epochs:lite_train_lite_infer=1|whole_train_whole_infer=4\n"
+        "runner.train_batch_size:16\n"
+        "runner.infer_batch_size:16\n"
+        "hyper_parameters.sparse_inputs_slots:27\n"
+        "hyper_parameters.dense_input_dim:13\n"
+        "hyper_parameters.sparse_feature_number:5000\n"
+        "hyper_parameters.sparse_feature_dim:8\n"
+        "hyper_parameters.fc_sizes:[32,16]\n"
+        "skip_me:null\n"
+    )
+    spec = parse_config_txt(str(cfg_txt), "lite_train_lite_infer")
+    assert spec["runner.epochs"] == "1"
+    assert "skip_me" not in spec
+    spec_whole = parse_config_txt(str(cfg_txt), "whole_train_whole_infer")
+    assert spec_whole["runner.epochs"] == "4"
+
+    ok = run_mode(str(cfg_txt), "lite_train_lite_infer",
+                  output_dir=str(tmp_path / "out"))
+    assert ok
+    log = (
+        tmp_path / "out" / "results_python_lite_train_lite_infer.log"
+    ).read_text()
+    assert log.count("Run successfully") == 3
