@@ -1,0 +1,118 @@
+"""Cube KV store: export sharded embedding tables for the serving fleet.
+
+Parity target: reference tools/inference/cpp + get_leaf_embedding-style
+table dumps — large sparse tables leave the model artifact and are
+looked up in a sharded KV store at serving time ("大规模稀疏参数…直接去
+远端查询", tools/inference/cpp/README.md).  Shard s holds keys with
+``key % num_shards == s`` (cube's partitioning); lookups hit the mmap'd
+sorted arrays via binary search in C.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from paddlerec_tpu.native import cubekv
+
+
+class CubeShardWriter:
+    @staticmethod
+    def build(path: str, keys: np.ndarray, values: np.ndarray) -> str:
+        keys = np.ascontiguousarray(keys, np.int64)
+        values = np.ascontiguousarray(values, np.float32)
+        assert keys.ndim == 1 and values.ndim == 2
+        assert len(keys) == len(values)
+        lib = cubekv()
+        rc = lib.cube_build(
+            path.encode(),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(keys), values.shape[1],
+        )
+        if rc != 0:
+            raise IOError(f"cube_build failed: {rc}")
+        return path
+
+
+def export_table(
+    out_dir: str, keys: np.ndarray, values: np.ndarray, num_shards: int = 1
+) -> List[str]:
+    """Split (keys, values) into ``num_shards`` cube files by key % shards."""
+    os.makedirs(out_dir, exist_ok=True)
+    keys = np.asarray(keys, np.int64)
+    paths = []
+    for s in range(num_shards):
+        sel = (keys % num_shards) == s
+        path = os.path.join(out_dir, f"cube_shard_{s}.bin")
+        CubeShardWriter.build(path, keys[sel], values[sel])
+        paths.append(path)
+    return paths
+
+
+class CubeClient:
+    """Query a set of cube shards (the cube_api.h client analog)."""
+
+    def __init__(self, shard_paths: List[str],
+                 default_value: Optional[np.ndarray] = None):
+        self._lib = cubekv()
+        self._handles = []
+        for p in sorted(shard_paths):
+            h = self._lib.cube_open(p.encode())
+            if not h:
+                raise IOError(f"cube_open failed for {p}")
+            self._handles.append(h)
+        self.num_shards = len(self._handles)
+        self.dim = int(self._lib.cube_dim(self._handles[0]))
+        self._default = (
+            np.ascontiguousarray(default_value, np.float32)
+            if default_value is not None else None
+        )
+
+    def seek(self, keys: np.ndarray) -> np.ndarray:
+        """(N,) int64 keys → (N, dim) float32 values (zeros on miss)."""
+        keys = np.ascontiguousarray(keys, np.int64).reshape(-1)
+        out = np.zeros((len(keys), self.dim), np.float32)
+        default_ptr = (
+            self._default.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if self._default is not None
+            else ctypes.POINTER(ctypes.c_float)()
+        )
+        if self.num_shards == 1:
+            self._lib.cube_lookup(
+                self._handles[0],
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                len(keys),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                default_ptr,
+            )
+            return out
+        for s in range(self.num_shards):
+            sel = np.nonzero(keys % self.num_shards == s)[0]
+            if not len(sel):
+                continue
+            sub = np.ascontiguousarray(keys[sel])
+            sub_out = np.zeros((len(sel), self.dim), np.float32)
+            self._lib.cube_lookup(
+                self._handles[s],
+                sub.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                len(sel),
+                sub_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                default_ptr,
+            )
+            out[sel] = sub_out
+        return out
+
+    def close(self):
+        for h in self._handles:
+            self._lib.cube_close(h)
+        self._handles = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,98 @@
+"""NativeSlotDataset: the C++ fast path for slot-text ingestion.
+
+Drop-in replacement for SlotDataset on the Criteo-style schema: each
+file is parsed by libfastreader's thread pool into contiguous arrays,
+then sliced into batches — no Python per-line work in the hot path
+(the reference's QueueDataset/`train_from_dataset` analog, SURVEY §3.2).
+
+Enable with ``runner.reader_type: native`` (falls back to the Python
+SlotDataset if the toolchain is unavailable).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Sequence
+
+import numpy as np
+
+from paddlerec_tpu.native import NativeUnavailable, fastreader
+
+
+def parse_file(path: str, num_sparse: int, dense_dim: int,
+               num_threads: int = 8):
+    """(labels (N,), sparse (N,S), dense (N,D)) parsed natively."""
+    lib = fastreader()
+    max_rows = lib.frd_count_lines(path.encode())
+    if max_rows < 0:
+        raise FileNotFoundError(path)
+    if max_rows == 0:
+        return (
+            np.zeros((0,), np.int64),
+            np.zeros((0, num_sparse), np.int64),
+            np.zeros((0, dense_dim), np.float32),
+        )
+    labels = np.zeros((max_rows,), np.int64)
+    sparse = np.zeros((max_rows, num_sparse), np.int64)
+    dense = np.zeros((max_rows, max(dense_dim, 1)), np.float32)
+    n = lib.frd_parse_file(
+        path.encode(), num_sparse, dense_dim, max_rows, num_threads,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        raise IOError(f"fastreader failed on {path}: {n}")
+    return labels[:n], sparse[:n], dense[:n, :dense_dim]
+
+
+class NativeSlotDataset:
+    """File list → batches via the native parser."""
+
+    def __init__(self, files: Sequence[str], num_sparse: int, dense_dim: int,
+                 batch_size: int, drop_last: bool = True,
+                 num_threads: int = 8):
+        self.files = list(files)
+        self.num_sparse = num_sparse
+        self.dense_dim = dense_dim
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+
+    def __iter__(self):
+        bs = self.batch_size
+        for path in self.files:
+            labels, sparse, dense = parse_file(
+                path, self.num_sparse, self.dense_dim, self.num_threads
+            )
+            n = len(labels)
+            stop = n - (n % bs) if self.drop_last else n
+            for i in range(0, stop, bs):
+                j = min(i + bs, n)
+                rows = j - i
+                batch = {
+                    "label": labels[i:j].astype(np.float32),
+                    "sparse": sparse[i:j],
+                    "mask": np.ones(rows, np.float32),
+                }
+                if self.dense_dim:
+                    batch["dense"] = dense[i:j]
+                if rows < bs:  # pad the tail batch
+                    pad = bs - rows
+                    batch["label"] = np.pad(batch["label"], (0, pad))
+                    batch["sparse"] = np.pad(batch["sparse"], ((0, pad), (0, 0)))
+                    if self.dense_dim:
+                        batch["dense"] = np.pad(batch["dense"],
+                                                ((0, pad), (0, 0)))
+                    batch["mask"] = np.concatenate(
+                        [batch["mask"], np.zeros(pad, np.float32)]
+                    )
+                yield batch
+
+
+def native_available() -> bool:
+    try:
+        fastreader()
+        return True
+    except NativeUnavailable:
+        return False

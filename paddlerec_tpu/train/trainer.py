@@ -181,6 +181,24 @@ class Trainer:
         schema = schema_from_config(self.config)
         files = list_data_files(data_dir)
         files = shard_files(files, jax.process_index(), jax.process_count())
+        if str(self.config.runner("reader_type", "")).lower() == "native":
+            # C++ thread-pool parser (the QueueDataset analog); falls back
+            # to the Python reader when no toolchain is available
+            from paddlerec_tpu.native import NativeUnavailable
+            from paddlerec_tpu.native.reader import NativeSlotDataset
+
+            try:
+                return NativeSlotDataset(
+                    files,
+                    num_sparse=len(schema.sparse_slots),
+                    dense_dim=schema.dense_dim,
+                    batch_size=batch_size,
+                    drop_last=True,
+                    num_threads=int(self.config.runner("reader_threads", 8)),
+                )
+            except NativeUnavailable as e:
+                logger.warning(f"native reader unavailable ({e}); "
+                               "falling back to the Python reader")
         return SlotDataset(
             files,
             schema,
