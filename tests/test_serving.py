@@ -1,0 +1,159 @@
+"""Serving layer: webserver + client, vector index, movie microservices."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerec_tpu.core.config import Config
+from paddlerec_tpu.core.registry import get_model_class
+
+
+@pytest.fixture
+def exported_dnn(tmp_path):
+    from paddlerec_tpu.tools.export import export_model
+
+    cfg = Config({
+        "runner.model": "rank.dnn",
+        "hyper_parameters.sparse_inputs_slots": 27,
+        "hyper_parameters.dense_input_dim": 13,
+        "hyper_parameters.sparse_feature_number": 5000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.fc_sizes": [32, 16],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 0.001,
+    })
+    export_dir = str(tmp_path / "export")
+    export_model(cfg, export_dir)
+    return export_dir
+
+
+def test_webservice_end_to_end(exported_dnn):
+    from paddlerec_tpu.serving.webserver import RecClient, RecService
+
+    service = RecService(exported_dnn)
+    server = service.run_web_service(port=0, background=True)
+    try:
+        port = server.server_address[1]
+        client = RecClient("127.0.0.1", port)
+        rng = np.random.RandomState(0)
+        feed = {
+            "sparse": rng.randint(0, 5000, (4, 26)).tolist(),
+            "dense": rng.rand(4, 13).tolist(),
+            "label": [0, 1, 0, 1],
+        }
+        resp = client.predict(feed)
+        preds = resp["result"]["predictions"]
+        assert len(preds) == 4
+        assert all(0.0 <= p <= 1.0 for p in preds)
+
+        # probe: wrong endpoint → 404; malformed body → 400 JSON error
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/nope", data=b"{}",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=5)
+        assert e.value.code == 404
+        garbled = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rec/prediction", data=b"not json",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(garbled, timeout=5)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+
+
+@pytest.mark.parametrize("metric", ["ip", "cosine", "l2"])
+def test_vector_index(metric, tmp_path):
+    from paddlerec_tpu.serving.vector_index import VectorIndex
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(100, 16).astype(np.float32)
+    idx = VectorIndex(metric)
+    idx.insert(vecs, ids=list(range(1000, 1100)))
+    scores, ids = idx.search(vecs[:3], topk=5)
+    assert ids.shape == (3, 5)
+    # self-match must rank first for every metric
+    assert list(ids[:, 0]) == [1000, 1001, 1002]
+    # save/load round trip
+    idx.save(str(tmp_path / "index"))
+    idx2 = VectorIndex.load(str(tmp_path / "index"))
+    _s2, ids2 = idx2.search(vecs[:3], topk=5)
+    assert np.array_equal(ids, ids2)
+
+
+def test_movie_recommender_pipeline():
+    from paddlerec_tpu.models.demo.movie_recommand.model import USER_FIELDS
+    from paddlerec_tpu.serving.movie_recommender import (
+        ApplicationServer, ContentModelService, RankService, RecallService,
+        UserModelService,
+    )
+    from paddlerec_tpu.serving.vector_index import VectorIndex
+
+    cfg = Config({
+        "hyper_parameters.sparse_feature_number": 2000,
+        "hyper_parameters.fc_sizes": [32, 16],
+    })
+    recall_md = get_model_class("demo.movie_recall")(cfg)
+    rank_md = get_model_class("demo.movie_rank")(cfg)
+    rp = recall_md.init_params(jax.random.PRNGKey(0))
+    kp = rank_md.init_params(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(0)
+    n_movies, n_users = 40, 5
+    movie_batch = jax.tree.map(
+        jnp.asarray, recall_md.example_batch(n_movies)
+    )
+    user_batch = jax.tree.map(jnp.asarray, recall_md.example_batch(n_users))
+    movie_vecs = np.asarray(recall_md.movie_vector(rp, movie_batch))
+    user_vecs = np.asarray(recall_md.user_vector(rp, user_batch))
+
+    um = UserModelService()
+    cm = ContentModelService()
+    index = VectorIndex("cosine")
+    movie_ids = [int(i) for i in np.asarray(movie_batch["movie_id"])]
+    index.insert(movie_vecs, ids=movie_ids)
+    for j, mid in enumerate(movie_ids):
+        cm.put(mid, {
+            "movie_id": mid,
+            "title": np.asarray(movie_batch["title"][j]),
+            "genres": np.asarray(movie_batch["genres"][j]),
+            "title_mask": np.asarray(movie_batch["title_mask"][j]),
+            "genre_mask": np.asarray(movie_batch["genre_mask"][j]),
+        })
+    user_vec_store = {}
+    for u in range(n_users):
+        um.put(u, {"user_sparse": np.asarray(user_batch["user_sparse"][u])})
+        user_vec_store[u] = user_vecs[u]
+
+    app = ApplicationServer(
+        um, cm, RecallService(index, user_vec_store),
+        RankService(rank_md, kp),
+    )
+    recs = app.recommend(uid=2, topk=5, recall_k=20)
+    assert len(recs) == 5
+    scores = [r["score"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["movie_id"] in set(movie_ids) for r in recs)
+
+    # HTTP front door
+    server = app.serve_http(port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/as/recommend?uid=2&topk=3", timeout=5
+        ) as resp:
+            data = json.loads(resp.read())
+        assert data["uid"] == 2 and len(data["items"]) == 3
+        # unknown uid → 400 with error payload
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/as/recommend?uid=999", timeout=5
+            )
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
