@@ -20,6 +20,19 @@ and scatter-add is associative.
 This replaces the reference's PS-side sparse table access
 (`paddle.static.nn.sparse_embedding`, models/rank/dnn/net.py:72-77) with an
 in-HBM layout tuned for the TensorCore's memory system.
+
+Layout experiments on the target chip (kept for the record; batch 8192×27,
+vocab 10^6, measured in the FULL fused train step, not in isolation):
+  * flat (V, 16) table + plain take/scatter: isolated gather 2× faster,
+    but the full DeepFM step drops 916k → 452k ex/s — the narrow minor dim
+    starves the fused backward+optimizer pipeline;
+  * (R, 128) param + reshape-view (R·8, 16) gather: isolated fwd+bwd 60×
+    faster, full step drops to 406k ex/s — once Adam pins the (R,128)
+    tiled layout, the in-graph reshape becomes a physical relayout copy of
+    the whole table each direction;
+  * this one-hot 128-lane path: 916k ex/s end-to-end.  Isolated op
+    microbenchmarks through the device tunnel do NOT predict fused-step
+    cost; always A/B the full step.
 """
 
 from __future__ import annotations
