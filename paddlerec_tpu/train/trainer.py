@@ -348,15 +348,56 @@ class Trainer:
 
         dataset = self.make_dataset(data_dir, batch_size)
         metric_state = self._init_metric_state()
+        # dump_fields: per-instance variable dumps for the on/off-line
+        # consistency diff (reference set_dump_config,
+        # tools/utils/static_ps/program_helper.py:104-111 +
+        # static_ps_online_trainer.py:565-576); JSONL consumed by
+        # paddlerec_tpu/utils/onoff_diff.py.
+        dump_fields = cfg.runner("dump_fields") or []
+        if isinstance(dump_fields, str):
+            # CLI overrides arrive as "[predictions,labels]" strings
+            dump_fields = [
+                f.strip() for f in dump_fields.strip("[]").split(",")
+                if f.strip()
+            ]
+        dump_path = resolve_path(cfg, "runner.dump_fields_path")
+        dump_file = None
+        if dump_fields and dump_path:
+            os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+            dump_file = open(dump_path, "w")
         begin = time.time()
         total = 0
         for batch_id, batch in enumerate(self._device_batches(dataset)):
             metric_state, aux = self._infer_step(self.state, batch, metric_state)
+            if dump_file is not None:
+                import json as _json
+
+                host_aux = {
+                    k: jax.device_get(aux[k]) for k in dump_fields if k in aux
+                }
+                mask = jax.device_get(batch["mask"]) if "mask" in batch else None
+                rows = self._batch_rows(batch)
+                for r in range(rows):
+                    if mask is not None and mask[r] == 0:
+                        continue
+                    rec = {
+                        "ins_id": f"{batch_id}_{r}",
+                        "vars": {
+                            k: [float(x) for x in
+                                (v[r].reshape(-1) if hasattr(v[r], "reshape")
+                                 else [v[r]])]
+                            for k, v in host_aux.items()
+                        },
+                    }
+                    dump_file.write(_json.dumps(rec) + "\n")
             total += self._batch_rows(batch)
             if (batch_id + 1) % print_interval == 0 and self.use_auc:
                 logger.info(
                     f"infer batch_id: {batch_id}, {self._auc_str(metric_state)}"
                 )
+        if dump_file is not None:
+            dump_file.close()
+            logger.info(f"dumped fields {dump_fields} to {dump_path}")
         elapsed = time.time() - begin
         metrics = self._compute_metrics(metric_state) if self.use_auc else {}
         if self.use_auc:
