@@ -258,6 +258,17 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
 
+        # VisualDL-analog scalar telemetry (reference tools/trainer.py:101-104)
+        visual = None
+        if bool(cfg.runner("use_visual", False)):
+            from paddlerec_tpu.utils.visual import ScalarWriter
+
+            visual = ScalarWriter(
+                resolve_path(cfg, "runner.train_visual_path")
+                or "visual_log"
+            )
+        global_step = 0
+
         last_metrics: Dict[str, float] = {}
         for epoch in range(start_epoch, epochs):
             dataset = self.make_dataset(
@@ -284,9 +295,19 @@ class Trainer:
                 n = self._batch_rows(batch)
                 interval_samples += n
                 total_samples += n
+                global_step += 1
                 if (batch_id + 1) % print_interval == 0:
                     jax.block_until_ready(loss)
                     train_cost += time.time() - step_start
+                    if visual is not None:
+                        visual.add_scalars(
+                            {
+                                "train/loss": float(jax.device_get(loss)),
+                                "train/ips": interval_samples
+                                / max(reader_cost + train_cost, 1e-9),
+                            },
+                            global_step,
+                        )
                     auc_str = self._auc_str(metric_state) if self.use_auc else ""
                     logger.info(
                         f"epoch: {epoch}, batch_id: {batch_id}, {auc_str}"
@@ -329,6 +350,8 @@ class Trainer:
                 logger.info(f"saved checkpoint to {path}")
             last_metrics["epoch_time"] = epoch_time
             last_metrics["ips"] = total_samples / max(epoch_time, 1e-9)
+        if visual is not None:
+            visual.close()
         return last_metrics
 
     def evaluate(self, epoch_tag=None) -> Dict[str, float]:
