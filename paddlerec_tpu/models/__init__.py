@@ -74,11 +74,20 @@ _BUILTIN = [
 ]
 
 
+# registry names whose code lives in a differently-named module (e.g. the
+# movie demo registers two models from one file)
+_MODULE_ALIASES = {
+    "demo.movie_recall": "demo.movie_recommand",
+    "demo.movie_rank": "demo.movie_recommand",
+}
+
+
 def import_all():
     imported = []
     for name in _BUILTIN:
+        module = _MODULE_ALIASES.get(name, name)
         try:
-            importlib.import_module(f"paddlerec_tpu.models.{name}.model")
+            importlib.import_module(f"paddlerec_tpu.models.{module}.model")
             imported.append(name)
         except ModuleNotFoundError:
             pass  # not built yet
