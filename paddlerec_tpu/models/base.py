@@ -130,8 +130,28 @@ class ModelDef:
         name = str(cfg.hyper("optimizer.class", "Adam")).lower()
         lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
         if name == "adam":
-            lazy = bool(cfg.hyper("optimizer.lazy_mode", False))
-            del lazy  # dense adam; lazy/rowwise variants live in parallel/
+            if bool(cfg.hyper("optimizer.lazy_mode", False)):
+                # paddle Adam(lazy_mode=True) semantics: embedding tables
+                # get row-masked moment updates, dense layers plain Adam
+                from paddlerec_tpu.ops.embedding import EMBEDDING_PARAM_NAME
+                from paddlerec_tpu.train.optimizers import lazy_adam
+
+                def label_fn(params):
+                    return jax.tree_util.tree_map_with_path(
+                        lambda path, _: "table"
+                        if any(
+                            EMBEDDING_PARAM_NAME
+                            in str(getattr(p, "key", ""))
+                            for p in path
+                        )
+                        else "dense",
+                        params,
+                    )
+
+                return optax.multi_transform(
+                    {"table": lazy_adam(lr), "dense": optax.adam(lr)},
+                    label_fn,
+                )
             return optax.adam(lr)
         if name in ("sgd", "gradientdescent"):
             return optax.sgd(lr)

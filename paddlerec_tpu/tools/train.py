@@ -23,8 +23,25 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def maybe_init_distributed():
+    """Join the jax.distributed cluster when launched by tools/launch
+    (or any launcher exporting JAX_NUM_PROCESSES/JAX_PROCESS_ID)."""
+    import os
+
+    nproc = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if nproc > 1:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=nproc,
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
 def main(argv=None):
     args = parse_args(argv)
+    maybe_init_distributed()
     config = load_config(args.config_yaml, parse_overrides(args.opt))
     logger.info("config:\n" + config.pretty())
     trainer = Trainer(config)

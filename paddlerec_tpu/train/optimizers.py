@@ -64,3 +64,68 @@ def grda(
         return updates, GrdaState(new_acc, l1_acc, state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class LazyAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def lazy_adam(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam that only updates rows touched this step.
+
+    Parity target: the reference's sparse-table optimizers — paddle's
+    ``Adam(lazy_mode=True)`` (hyper_parameters.optimizer.lazy_mode, read
+    by every dygraph_model) and the PS accessors — update moments and
+    parameters ONLY for rows whose gradient is non-zero.  With dense
+    (scatter-add-produced) embedding gradients the masked form preserves
+    those semantics: untouched rows keep their moments un-decayed and
+    receive no bias-correction drift.
+
+    Row granularity = the leading axis of each ≥2-D leaf; lower-rank
+    leaves fall back to element masking.
+    """
+
+    def _mask(g):
+        if g.ndim >= 2:
+            touched = jnp.any(g != 0, axis=tuple(range(1, g.ndim)),
+                              keepdims=True)
+        else:
+            touched = g != 0
+        return touched.astype(g.dtype)
+
+    def init_fn(params):
+        return LazyAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(grads, state, params=None):
+        count = state.count + 1
+        masks = jax.tree.map(_mask, grads)
+        mu = jax.tree.map(
+            lambda m, g, k: m * (1 - k) + k * (b1 * m + (1 - b1) * g),
+            state.mu, grads, masks,
+        )
+        nu = jax.tree.map(
+            lambda v, g, k: v * (1 - k) + k * (b2 * v + (1 - b2) * g * g),
+            state.nu, grads, masks,
+        )
+        c = count.astype(jnp.float32)
+        bc1 = 1 - b1**c
+        bc2 = 1 - b2**c
+        updates = jax.tree.map(
+            lambda m, v, k: -learning_rate * k * (m / bc1)
+            / (jnp.sqrt(v / bc2) + eps),
+            mu, nu, masks,
+        )
+        return updates, LazyAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

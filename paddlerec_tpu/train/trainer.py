@@ -209,6 +209,21 @@ class Trainer:
         )
 
     def _device_batches(self, dataset) -> Iterable:
+        if jax.process_count() > 1:
+            # each process reads its own file shard; its host-local batch
+            # becomes that host's slice of the global dp-sharded array
+            # (device_put would demand identical values on every process)
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            from paddlerec_tpu.parallel.sharding import DP_AXIS
+
+            spec = P(DP_AXIS)
+            for batch in PrefetchIterator(iter(dataset), depth=4):
+                yield multihost_utils.host_local_array_to_global_array(
+                    batch, self.mesh, spec
+                )
+            return
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
 
