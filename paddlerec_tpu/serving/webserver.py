@@ -22,12 +22,19 @@ import numpy as np
 class RecService:
     """Load an exported artifact and serve predictions over HTTP."""
 
-    def __init__(self, export_dir: str, name: str = "rec"):
+    def __init__(self, export_dir: str, name: str = "rec",
+                 warmup: bool = True):
         from paddlerec_tpu.tools.export import load_exported
 
         self.name = name
         self.model_def, self.params = load_exported(export_dir)
         self._infer = jax.jit(self.model_def.infer_forward)
+        if warmup:
+            # pay the jit compile before the first real request
+            batch = jax.tree.map(
+                jnp.asarray, self.model_def.example_batch(1)
+            )
+            jax.block_until_ready(self._infer(self.params, batch))
 
     # pre/post-process hooks (tools/webserver.py:29-40) — overridable
     def preprocess(self, feed: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
