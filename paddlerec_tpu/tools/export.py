@@ -37,10 +37,11 @@ def export_model(config: Config, export_dir: str, epoch_tag=None) -> str:
     init_path = resolve_path(config, "runner.model_init_path")
     if epoch_tag is not None:
         load_root = resolve_path(config, "runner.infer_load_path")
-        trainer.load_checkpoint(load_root, epoch_tag)
+        trainer.load_checkpoint(load_root, epoch_tag, params_only=True)
     elif init_path:
         trainer.load_checkpoint(
-            os.path.dirname(init_path), os.path.basename(init_path)
+            os.path.dirname(init_path), os.path.basename(init_path),
+            params_only=True,
         )
     os.makedirs(export_dir, exist_ok=True)
     ckpt_lib.save_params_only(

@@ -79,7 +79,8 @@ def main(argv=None):
     init_path = resolve_path(config, "runner.model_init_path")
     if init_path:
         trainer.load_checkpoint(
-            os.path.dirname(init_path), os.path.basename(init_path)
+            os.path.dirname(init_path), os.path.basename(init_path),
+            params_only=True,
         )
     md = trainer.model_def
     import jax

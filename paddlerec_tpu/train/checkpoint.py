@@ -80,3 +80,19 @@ def load_params_only(root: str, tag, abstract_params: Optional[Any] = None) -> A
     if abstract_params is not None:
         return ckpt.restore(path, item=abstract_params)
     return ckpt.restore(path)
+
+
+def load_params_from_state(root: str, tag,
+                           abstract_params: Optional[Any] = None) -> Any:
+    """Restore ONLY the params subtree of a full train checkpoint.
+
+    Export/inference tools use this so a checkpoint saved under any
+    optimizer config loads without reconstructing that optimizer's state
+    structure (a full-state restore demands an exactly matching
+    opt_state pytree)."""
+    path = os.path.join(_ckpt_dir(root, tag), "state")
+    # structure-free read: the opt_state subtree restores as plain arrays
+    # and is discarded, so no optimizer pytree needs reconstructing
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    del abstract_params  # placement happens in the caller (put_like)
+    return restored["params"]

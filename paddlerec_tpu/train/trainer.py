@@ -105,8 +105,11 @@ class Trainer:
         )
         return self.state
 
-    def load_checkpoint(self, root: str, tag) -> None:
-        """Restore params+opt from a checkpoint into the current shardings."""
+    def load_checkpoint(self, root: str, tag, params_only: bool = False) -> None:
+        """Restore params(+opt) from a checkpoint into the current shardings.
+
+        params_only skips the optimizer-state restore so export/inference
+        tools can load checkpoints saved under ANY optimizer config."""
         if self.state is None:
             self.init_state()
 
@@ -117,17 +120,24 @@ class Trainer:
                 )
             return x
 
-        abstract = jax.tree.map(
-            as_abstract,
-            {"params": self.state.params, "opt_state": self.state.opt_state},
-        )
-        params, opt_state = ckpt_lib.load_model(root, tag, abstract)
-
         def put_like(new, cur):
             if hasattr(cur, "sharding"):
                 return jax.device_put(new, cur.sharding)
             return new
 
+        if params_only:
+            abstract_p = jax.tree.map(as_abstract, self.state.params)
+            params = ckpt_lib.load_params_from_state(root, tag, abstract_p)
+            self.state = self.state.replace(
+                params=jax.tree.map(put_like, params, self.state.params)
+            )
+            return
+
+        abstract = jax.tree.map(
+            as_abstract,
+            {"params": self.state.params, "opt_state": self.state.opt_state},
+        )
+        params, opt_state = ckpt_lib.load_model(root, tag, abstract)
         self.state = self.state.replace(
             params=jax.tree.map(put_like, params, self.state.params),
             opt_state=jax.tree.map(put_like, opt_state, self.state.opt_state),
