@@ -13,7 +13,7 @@ import importlib
 import importlib.util
 import os
 import sys
-from typing import Any, Dict, Optional, Type
+from typing import Any, Dict
 
 _REGISTRY: Dict[str, Any] = {}
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.models.base import Aux, ModelDef
+from paddlerec_tpu.models.base import ModelDef
 
 USER_FIELDS = 4  # uid, gender, age, occupation
 MOVIE_SPARSE = 1  # mid

@@ -20,8 +20,6 @@ never collides with the positive), the whole step is one jit.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,7 +28,7 @@ import numpy as np
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
 from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
-from paddlerec_tpu.models.base import Aux, ModelDef
+from paddlerec_tpu.models.base import ModelDef
 from paddlerec_tpu.models.graph.layers import CONV_REGISTRY
 
 

@@ -9,15 +9,15 @@ Covers the two data regimes of the reference's multitask family:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paddlerec_tpu.core.config import Config, resolve_path
-from paddlerec_tpu.data.slot_reader import PrefetchIterator, list_data_files, shard_files
-from paddlerec_tpu.models.base import Aux, Batch, ModelDef, binary_logloss
+from paddlerec_tpu.core.config import Config
+from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
+from paddlerec_tpu.models.base import Aux, Batch, ModelDef
 
 
 class DenseMultitaskModelDef(ModelDef):

@@ -16,7 +16,7 @@ import numpy as np
 
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.models.rank.din.model import DINDataset, ModelDef as DINModelDef
+from paddlerec_tpu.models.rank.din.model import ModelDef as DINModelDef
 from paddlerec_tpu.ops.layers import MLP
 from paddlerec_tpu.ops.sequence import AUGRU, GRU
 

@@ -24,8 +24,6 @@ matmul against the dm item table.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ import numpy as np
 
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
 from paddlerec_tpu.models.base import Aux, ModelDef, binary_logloss
 
 NEG = -(2.0**31)

@@ -11,7 +11,7 @@ is the CtrDnn net with bundle-reporting semantics.
 from __future__ import annotations
 
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.models.rank.dnn.model import CtrDnnNet, ModelDef as DnnModelDef
+from paddlerec_tpu.models.rank.dnn.model import ModelDef as DnnModelDef
 
 
 @register_model("rank.slot_dnn")

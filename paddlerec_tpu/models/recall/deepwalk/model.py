@@ -22,7 +22,7 @@ import optax
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
 from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
-from paddlerec_tpu.models.base import Aux, ModelDef
+from paddlerec_tpu.models.base import ModelDef
 
 
 class SkipGramNet(nn.Module):

@@ -21,7 +21,7 @@ import numpy as np
 
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.models.base import Aux, ModelDef
+from paddlerec_tpu.models.base import ModelDef
 
 
 class ENSFMNet(nn.Module):

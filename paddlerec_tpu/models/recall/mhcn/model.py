@@ -21,8 +21,6 @@ trainer-supplied per-step rng (stochastic=True).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,7 +28,7 @@ import numpy as np
 
 from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
-from paddlerec_tpu.models.base import Aux, ModelDef
+from paddlerec_tpu.models.base import ModelDef
 
 
 def build_motif_adjacency(social: np.ndarray, rating: np.ndarray):

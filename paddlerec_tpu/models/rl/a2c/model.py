@@ -14,7 +14,6 @@ single jit — no host↔device ping-pong per step, no RPC.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import flax.linen as nn

@@ -23,7 +23,7 @@ plus uniform same-layer negatives.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

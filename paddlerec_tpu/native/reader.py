@@ -12,7 +12,7 @@ SlotDataset if the toolchain is unavailable).
 from __future__ import annotations
 
 import ctypes
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

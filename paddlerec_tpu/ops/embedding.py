@@ -21,11 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from paddlerec_tpu.ops.packed_embedding import (
-    init_packed_table,
-    packed_lookup,
-    packed_shape,
-)
+from paddlerec_tpu.ops.packed_embedding import init_packed_table, packed_lookup
 
 # Param names with this prefix get row-sharded over the model axis (see
 # paddlerec_tpu/parallel/sharding.py).

@@ -27,7 +27,7 @@ the backward pass reuses the same routing.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

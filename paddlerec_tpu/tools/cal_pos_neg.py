@@ -11,7 +11,7 @@ Usage: python -m paddlerec_tpu.tools.cal_pos_neg <score_file>
 from __future__ import annotations
 
 import sys
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 
 def cal_pos_neg(path: str) -> Dict[str, float]:

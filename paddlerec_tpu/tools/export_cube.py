@@ -28,7 +28,7 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
     Packed (R, 128) tables unpack via ops.packed_embedding.unpack_table;
     plain (V, E) tables pass through."""
     from paddlerec_tpu.ops.embedding import EMBEDDING_PARAM_NAME
-    from paddlerec_tpu.ops.packed_embedding import packed_shape, unpack_table
+    from paddlerec_tpu.ops.packed_embedding import unpack_table
 
     tables = {}
 
@@ -70,7 +70,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config_yaml, parse_overrides(args.opt))
-    from paddlerec_tpu.core.registry import load_model_def
     from paddlerec_tpu.native.cube import export_table
     from paddlerec_tpu.train.trainer import Trainer, logger
 

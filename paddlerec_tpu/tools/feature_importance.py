@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paddlerec_tpu.core import metrics as metrics_lib
 from paddlerec_tpu.core.config import load_config, parse_overrides, resolve_path
 from paddlerec_tpu.train.trainer import Trainer, logger
 

@@ -16,7 +16,7 @@ so the sync is NOT hidden behind ``lax.cond`` — the loop structure is
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 

@@ -13,7 +13,7 @@ Dump format here is JSONL (one dict per instance:
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, List, Tuple
 
 
 def load_dump(path: str) -> Dict[str, Dict[str, List[float]]]:
