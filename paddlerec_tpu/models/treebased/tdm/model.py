@@ -211,12 +211,14 @@ class TDMDataset:
             with open(path) as f:
                 for line in f:
                     left, _, right = line.partition("|")
-                    hist = [int(x) for x in left.split()][:s]
-                    tgt = right.split()
-                    if not tgt:
-                        continue
+                    try:
+                        hist = [int(x) for x in left.split()][:s]
+                        tgt = int(right.split()[0])
+                    except (ValueError, IndexError):
+                        continue  # malformed lines are skipped, like the
+                        # slot readers
                     hist_buf.append(hist)
-                    tgt_buf.append(int(tgt[0]))
+                    tgt_buf.append(tgt)
                     if len(hist_buf) == self.batch_size:
                         yield self._batch(hist_buf, tgt_buf, item_to_code,
                                           rng, s)

@@ -56,6 +56,8 @@ class TreeIndex:
             (self.branch ** (self.max_level + 1) - 1) // (self.branch - 1)
             if self.branch > 1 else self.codes.max() + 1
         )
+        self._anc_matrix = None  # lazy (items, max_level) ancestor cache
+        self._item_order = None
 
     # -- structure ----------------------------------------------------------
     def _level(self, code: int) -> int:
@@ -162,32 +164,54 @@ class TreeIndex:
         negatives = ``neg_per_layer`` uniform same-layer codes ≠ positive.
 
         Returns (unit_codes (B, T), labels (B, T)) with
-        T = (#layers)·(1 + neg_per_layer)."""
-        item_to_code = {int(i): int(c) for i, c in
-                        zip(self.item_ids, self.codes)}
+        T = (#layers)·(1 + neg_per_layer).  Vectorized: ancestor chains
+        and per-layer negatives are drawn with array ops (the Python
+        per-example loop capped TDM ingestion at ~30 rows/s)."""
         layers = list(range(start_level, self.max_level + 1))
-        t = len(layers) * (1 + neg_per_layer)
-        n = len(target_items)
-        units = np.zeros((n, t), np.int64)
-        labels = np.zeros((n, t), np.float32)
-        for b, item in enumerate(np.asarray(target_items).reshape(-1)):
-            code = item_to_code.get(int(item))
-            if code is None:
-                continue
-            anc = {self._level(c): c for c in self.ancestors(code)}
-            col = 0
-            for lv in layers:
-                pos = anc.get(lv, 0)
-                units[b, col] = pos
-                labels[b, col] = 1.0
-                col += 1
-                cand = self.level_codes[lv]
-                for _ in range(neg_per_layer):
-                    neg = int(cand[rng.randint(len(cand))])
-                    while neg == pos and len(cand) > 1:
-                        neg = int(cand[rng.randint(len(cand))])
-                    units[b, col] = neg
-                    col += 1
+        per = 1 + neg_per_layer
+        n = len(np.asarray(target_items).reshape(-1))
+        units = np.zeros((n, len(layers) * per), np.int64)
+        labels = np.zeros((n, len(layers) * per), np.float32)
+
+        if self._anc_matrix is None:
+            # (#items, max_level) ancestor codes per leaf, level 1..max
+            anc = np.zeros((len(self.item_ids), self.max_level), np.int64)
+            for i, code in enumerate(self.codes):
+                c = int(code)
+                for lv in range(self.max_level, 0, -1):
+                    anc[i, lv - 1] = c
+                    c = (c - 1) // self.branch
+            order = np.argsort(self.item_ids)
+            self._anc_matrix = anc
+            self._item_order = order
+
+        items = np.asarray(target_items, np.int64).reshape(-1)
+        sorted_ids = self.item_ids[self._item_order]
+        pos_idx = np.searchsorted(sorted_ids, items)
+        pos_idx = np.clip(pos_idx, 0, len(sorted_ids) - 1)
+        row = self._item_order[pos_idx]
+        known = sorted_ids[pos_idx] == items
+
+        for li, lv in enumerate(layers):
+            col = li * per
+            pos = np.where(known, self._anc_matrix[row, lv - 1], 0)
+            units[:, col] = pos
+            labels[:, col] = known.astype(np.float32)
+            cand = self.level_codes[lv]
+            negs = cand[rng.randint(0, len(cand), (n, neg_per_layer))]
+            if len(cand) > 1:  # resample collisions with the positive once,
+                # then shift deterministically (bias-free enough for training)
+                clash = negs == pos[:, None]
+                redraw = cand[rng.randint(0, len(cand), (n, neg_per_layer))]
+                negs = np.where(clash, redraw, negs)
+                clash = negs == pos[:, None]
+                alt_idx = (
+                    np.searchsorted(cand, negs.reshape(-1)) + 1
+                ) % len(cand)
+                negs = np.where(
+                    clash, cand[alt_idx].reshape(n, neg_per_layer), negs
+                )
+            units[:, col + 1 : col + per] = negs
         return units, labels
 
     # -- retrieval ------------------------------------------------------------
