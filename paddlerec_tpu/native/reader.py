@@ -61,33 +61,48 @@ class NativeSlotDataset:
 
     def __iter__(self):
         bs = self.batch_size
+        # carry partial batches across file boundaries (the Python
+        # SlotDataset buffers the same way; dropping per-file remainders
+        # silently discarded files smaller than the batch size)
+        rem = None
         for path in self.files:
             labels, sparse, dense = parse_file(
                 path, self.num_sparse, self.dense_dim, self.num_threads
             )
+            if rem is not None:
+                labels = np.concatenate([rem[0], labels])
+                sparse = np.concatenate([rem[1], sparse])
+                dense = np.concatenate([rem[2], dense])
+                rem = None
             n = len(labels)
-            stop = n - (n % bs) if self.drop_last else n
+            stop = n - (n % bs)
             for i in range(0, stop, bs):
-                j = min(i + bs, n)
-                rows = j - i
-                batch = {
-                    "label": labels[i:j].astype(np.float32),
-                    "sparse": sparse[i:j],
-                    "mask": np.ones(rows, np.float32),
-                }
-                if self.dense_dim:
-                    batch["dense"] = dense[i:j]
-                if rows < bs:  # pad the tail batch
-                    pad = bs - rows
-                    batch["label"] = np.pad(batch["label"], (0, pad))
-                    batch["sparse"] = np.pad(batch["sparse"], ((0, pad), (0, 0)))
-                    if self.dense_dim:
-                        batch["dense"] = np.pad(batch["dense"],
-                                                ((0, pad), (0, 0)))
-                    batch["mask"] = np.concatenate(
-                        [batch["mask"], np.zeros(pad, np.float32)]
-                    )
-                yield batch
+                yield self._emit(labels, sparse, dense, i, i + bs, bs)
+            if stop < n:
+                rem = (labels[stop:], sparse[stop:], dense[stop:])
+        if rem is not None and len(rem[0]) and not self.drop_last:
+            labels, sparse, dense = rem
+            yield self._emit(labels, sparse, dense, 0, len(labels), bs)
+
+    def _emit(self, labels, sparse, dense, i, j, bs):
+        rows = j - i
+        batch = {
+            "label": labels[i:j].astype(np.float32),
+            "sparse": sparse[i:j],
+            "mask": np.ones(rows, np.float32),
+        }
+        if self.dense_dim:
+            batch["dense"] = dense[i:j]
+        if rows < bs:  # pad the tail batch
+            pad = bs - rows
+            batch["label"] = np.pad(batch["label"], (0, pad))
+            batch["sparse"] = np.pad(batch["sparse"], ((0, pad), (0, 0)))
+            if self.dense_dim:
+                batch["dense"] = np.pad(batch["dense"], ((0, pad), (0, 0)))
+            batch["mask"] = np.concatenate(
+                [batch["mask"], np.zeros(pad, np.float32)]
+            )
+        return batch
 
 
 def native_available() -> bool:

@@ -43,16 +43,34 @@ def evaluate_with_shuffle(
             batch = dict(batch, sparse=sparse)
         batch = jax.device_put(batch, trainer.batch_sharding)
         metric_state, _ = trainer._infer_step(trainer.state, batch, metric_state)
-    return trainer._compute_metrics(metric_state)["auc"]
+    metrics = trainer._compute_metrics(metric_state)
+    if metrics.get("total_ins", 0) == 0:
+        logger.warning(
+            "evaluated ZERO instances — check test_data_dir/batch_size "
+            "(AUC defaults to 0.5 on an empty eval)"
+        )
+    return metrics["auc"]
 
 
 def run(config, shuffled_slot_groups: List[List[int]]) -> Dict[str, float]:
     trainer = Trainer(config)
     trainer.init_state()
     init_path = resolve_path(config, "runner.model_init_path")
+    if not init_path:
+        # accept the infer-tool convention too
+        load_root = resolve_path(config, "runner.infer_load_path")
+        epoch = config.runner("infer_start_epoch")
+        if load_root and epoch is not None:
+            init_path = os.path.join(load_root, str(epoch))
     if init_path:
         trainer.load_checkpoint(
-            os.path.dirname(init_path), os.path.basename(init_path)
+            os.path.dirname(init_path), os.path.basename(init_path),
+            params_only=True,
+        )
+    else:
+        logger.warning(
+            "no runner.model_init_path / infer_load_path set — measuring "
+            "importance on UNTRAINED params (all deltas will be ~0)"
         )
     data_dir = resolve_path(config, "runner.test_data_dir")
     batch_size = int(config.runner("infer_batch_size", 512))
