@@ -185,7 +185,8 @@ class Trainer:
         return jax.jit(infer_step, donate_argnums=(2,))
 
     # -- data ---------------------------------------------------------------------
-    def make_dataset(self, data_dir: str, batch_size: int, shuffle=False):
+    def make_dataset(self, data_dir: str, batch_size: int, shuffle=False,
+                     drop_last: bool = True):
         if hasattr(self.model_def, "make_dataset"):
             return self.model_def.make_dataset(data_dir, batch_size, shuffle)
         schema = schema_from_config(self.config)
@@ -203,7 +204,7 @@ class Trainer:
                     num_sparse=len(schema.sparse_slots),
                     dense_dim=schema.dense_dim,
                     batch_size=batch_size,
-                    drop_last=True,
+                    drop_last=drop_last,
                     num_threads=int(self.config.runner("reader_threads", 8)),
                 )
             except NativeUnavailable as e:
@@ -213,7 +214,7 @@ class Trainer:
             files,
             schema,
             batch_size,
-            drop_last=True,
+            drop_last=drop_last,
             shuffle_files=shuffle,
             seed=int(self.config.runner("seed", 2023)),
         )
@@ -394,7 +395,7 @@ class Trainer:
         if self._infer_step is None:
             self._infer_step = self._build_infer_step()
 
-        dataset = self.make_dataset(data_dir, batch_size)
+        dataset = self.make_dataset(data_dir, batch_size, drop_last=False)
         metric_state = self._init_metric_state()
         # dump_fields: per-instance variable dumps for the on/off-line
         # consistency diff (reference set_dump_config,
