@@ -49,9 +49,9 @@ def run_predict(export_dir: str, data_dir: str, batch_size: int,
         aux = infer(params, batch)
         preds = aux.get("predictions")
         if preds is None:
-            # multitask/regression models name their outputs differently
-            # (probs, scores, ctr...) — take the first float array
-            for key in ("probs", "scores", "ctr", "outputs"):
+            # multitask/regression/match models name their outputs
+            # differently — take the first known output key
+            for key in ("probs", "scores", "ctr", "outputs", "sim_pos"):
                 if key in aux:
                     preds = aux[key]
                     break

@@ -41,6 +41,41 @@ def write_aliccp(root):
             f.write(f"{i},{click},{conv},idx,{','.join(toks)}\n")
 
 
+def write_dssm(root, trigram_d=128, neg_num=1):
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "dssm")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(128):
+            def vec():
+                v = (rng.rand(trigram_d) < 0.05).astype(np.float32)
+                return ",".join(f"{x:.0f}" for x in v)
+            cols = [vec(), vec()] + [vec() for _ in range(neg_num)]
+            f.write("\t".join(cols) + "\n")
+
+
+def write_textcnn(root, dict_dim=1000, max_len=32):
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "textcnn")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(256):
+            n = rng.randint(4, max_len + 1)
+            toks = rng.randint(1, dict_dim, n)
+            label = int(toks.sum() % 2)
+            f.write(" ".join(map(str, toks)) + f" {n} {label}\n")
+
+
+def write_ncf(root, n_users=200, n_items=100):
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "ncf")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(512):
+            u, i = rng.randint(n_users), rng.randint(n_items)
+            f.write(f"{u},{i},{int(rng.rand() < 0.5)}\n")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     root = sys.argv[2] if len(sys.argv) > 2 else "test_tipc/data"
@@ -50,4 +85,10 @@ if __name__ == "__main__":
         write_census(root)
     if which in ("aliccp", "all"):
         write_aliccp(root)
+    if which in ("dssm", "all"):
+        write_dssm(root)
+    if which in ("textcnn", "all"):
+        write_textcnn(root)
+    if which in ("ncf", "all"):
+        write_ncf(root)
     print(f"wrote TIPC sample data under {root}")
