@@ -59,8 +59,24 @@ class CubeClient:
     def __init__(self, shard_paths: List[str],
                  default_value: Optional[np.ndarray] = None):
         self._lib = cubekv()
+
+        def shard_id(path):
+            import re as _re
+
+            m = _re.search(r"cube_shard_(\d+)\.bin$", path)
+            if m is None:
+                raise ValueError(
+                    f"{path!r} is not a cube shard (expect cube_shard_<id>.bin)"
+                )
+            return int(m.group(1))
+
+        # order by the shard id encoded in the filename — a lexicographic
+        # sort misroutes key%shards lookups once num_shards >= 10
+        ordered = sorted(shard_paths, key=shard_id)
+        if [shard_id(p) for p in ordered] != list(range(len(ordered))):
+            raise ValueError(f"shard set is not contiguous: {ordered}")
         self._handles = []
-        for p in sorted(shard_paths):
+        for p in ordered:
             h = self._lib.cube_open(p.encode())
             if not h:
                 raise IOError(f"cube_open failed for {p}")

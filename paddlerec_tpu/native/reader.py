@@ -22,10 +22,19 @@ from paddlerec_tpu.native import NativeUnavailable, fastreader
 def parse_file(path: str, num_sparse: int, dense_dim: int,
                num_threads: int = 8):
     """(labels (N,), sparse (N,S), dense (N,D)) parsed natively."""
+    import os as _os
+
     lib = fastreader()
     max_rows = lib.frd_count_lines(path.encode())
     if max_rows < 0:
         raise FileNotFoundError(path)
+    # frd_count_lines counts newlines; a file without a trailing newline
+    # still has one more record
+    if _os.path.getsize(path) > 0:
+        with open(path, "rb") as _f:
+            _f.seek(-1, 2)
+            if _f.read(1) != b"\n":
+                max_rows += 1
     if max_rows == 0:
         return (
             np.zeros((0,), np.int64),

@@ -27,6 +27,7 @@ class VectorIndex:
         self.metric = metric
         self._vectors: Optional[np.ndarray] = None
         self._ids: List[int] = []
+        self._device_matrix = None  # cached device copy, reset on insert
 
     # -- insert (milvus_insert.py) -----------------------------------------
     def insert(self, vectors: Sequence[Sequence[float]],
@@ -40,6 +41,7 @@ class VectorIndex:
             vecs if self._vectors is None
             else np.concatenate([self._vectors, vecs])
         )
+        self._device_matrix = None  # invalidate the cached device copy
         return list(ids)
 
     def __len__(self):
@@ -51,7 +53,11 @@ class VectorIndex:
         """(scores (Q, k), ids (Q, k))."""
         assert self._vectors is not None and len(self._ids) > 0
         q = jnp.asarray(np.asarray(queries, np.float32))
-        m = jnp.asarray(self._vectors)
+        if self._device_matrix is None:
+            # upload the catalog once; per-query re-upload dominated
+            # serving latency for large catalogs
+            self._device_matrix = jnp.asarray(self._vectors)
+        m = self._device_matrix
         if self.metric == "cosine":
             q = q * jax.lax.rsqrt((q**2).sum(-1, keepdims=True) + 1e-12)
             m = m * jax.lax.rsqrt((m**2).sum(-1, keepdims=True) + 1e-12)

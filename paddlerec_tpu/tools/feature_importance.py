@@ -33,7 +33,7 @@ def evaluate_with_shuffle(
         trainer._infer_step = trainer._build_infer_step()
     rng = np.random.RandomState(seed)
     metric_state = trainer._init_metric_state()
-    dataset = trainer.make_dataset(data_dir, batch_size)
+    dataset = trainer.make_dataset(data_dir, batch_size, drop_last=False)
     for batch in dataset:
         if shuffle_slots:
             sparse = batch["sparse"].copy()

@@ -56,13 +56,20 @@ def run_predict(export_dir: str, data_dir: str, batch_size: int,
                     preds = aux[key]
                     break
         if preds is not None:
-            _ = np.asarray(preds)  # host readback = honest sync
-            outputs.append(np.asarray(preds))
+            arr = np.asarray(preds)  # host readback = honest sync
+            if "mask" in batch:
+                # drop mask-padded tail rows so prediction lines align
+                # 1:1 with input instances
+                mask = np.asarray(batch["mask"]).reshape(-1) > 0
+                if arr.shape[0] == mask.shape[0]:
+                    arr = arr[mask]
+            outputs.append(arr)
         else:
             jax.block_until_ready(aux)
+        rows = int(batch["mask"].sum()) if "mask" in batch else batch_size
         if i >= warmup:
             latencies.append(time.time() - t0)
-        total += int(batch["mask"].sum()) if "mask" in batch else batch_size
+            total += rows  # only timed rows count toward qps
 
     report = {}
     if latencies:

@@ -134,6 +134,10 @@ class RankModel:
 
         from paddlerec_tpu.tools.predict import run_predict
 
+        overrides = dict(config_overrides or {})
+        batch_size = int(
+            overrides.get("runner.infer_batch_size", batch_size)
+        )
         outputs, _report = run_predict(model_dir, input_path, batch_size)
         save_dir = save_dir or "./uapi_infer_output"
         os.makedirs(save_dir, exist_ok=True)

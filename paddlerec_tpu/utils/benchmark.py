@@ -36,12 +36,14 @@ class InferBenchmark:
 
     # -- measurement ----------------------------------------------------------
     def time_fn(self, fn, batches, warmup: int = 3):
-        """Run fn over batches, recording per-call wall latency (s)."""
+        """Run fn over batches, recording per-call wall latency (s).
+
+        ``batches`` is materialized once so generators are not partially
+        consumed; warmup replays the first batches without timing them."""
         import jax
 
-        for i, b in enumerate(batches):
-            if i >= warmup:
-                break
+        batches = list(batches)
+        for b in batches[:warmup]:
             jax.block_until_ready(fn(b))
         for b in batches:
             t0 = time.perf_counter()

@@ -51,8 +51,7 @@ def fetch_pods_info(label_selector: str,
             p = "Terminating"
         if phase is not None and p != phase:
             continue
-        out.append((item.status.phase, item.status.pod_ip,
-                    item.metadata.name))
+        out.append((p, item.status.pod_ip, item.metadata.name))
     return out
 
 

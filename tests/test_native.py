@@ -136,3 +136,38 @@ def test_cube_export_from_packed_table(tmp_path):
     with CubeClient(paths) as client:
         ids = np.asarray([0, 17, 999], np.int64)
         np.testing.assert_allclose(client.seek(ids), dense[ids], rtol=1e-6)
+
+
+def test_cube_many_shards_routing(tmp_path):
+    """≥10 shards: lexicographic path order would misroute key%shards
+    (cube_shard_10 sorts before cube_shard_2) — ids must come from the
+    filename."""
+    from paddlerec_tpu.native.cube import CubeClient, export_table
+
+    rng = np.random.RandomState(0)
+    keys = np.arange(3000, dtype=np.int64)
+    vals = rng.randn(3000, 4).astype(np.float32)
+    paths = export_table(str(tmp_path / "cube"), keys, vals, num_shards=12)
+    # hand the client a lexicographically shuffled path list
+    with CubeClient(sorted(paths)) as client:
+        got = client.seek(keys)
+        np.testing.assert_allclose(got, vals, rtol=1e-6)
+    # non-contiguous shard set is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contiguous"):
+        CubeClient(paths[:3] + paths[4:])
+
+
+def test_fast_reader_no_trailing_newline(tmp_path):
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+    from paddlerec_tpu.native.reader import parse_file
+
+    write_criteo_sample(str(tmp_path / "d"), num_lines=10, num_files=1,
+                        vocab=100)
+    path = str(tmp_path / "d" / "part-0")
+    # strip the trailing newline
+    data = open(path, "rb").read().rstrip(b"\n")
+    open(path, "wb").write(data)
+    labels, sparse, dense = parse_file(path, 26, 13)
+    assert len(labels) == 10  # last record kept
