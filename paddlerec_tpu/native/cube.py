@@ -70,6 +70,12 @@ class CubeClient:
                 )
             return int(m.group(1))
 
+        if not shard_paths:
+            raise ValueError(
+                "no shard paths given — expected one or more "
+                "cube_shard_<id>.bin files (check the export directory; "
+                "export_table writes shards under <out_dir>/)"
+            )
         # order by the shard id encoded in the filename — a lexicographic
         # sort misroutes key%shards lookups once num_shards >= 10
         ordered = sorted(shard_paths, key=shard_id)
