@@ -182,6 +182,9 @@ class ModelDef(AccuracyModelDef):
             (xent(logits_l, labels[:, 0]) + xent(logits_r, labels[:, 1])) * w
         ).sum() / n
         aux: Aux = {
+            # confidence of the left-digit prediction — gives the export/
+            # predict tooling a per-row scalar to write
+            "probs": nn.softmax(logits_l).max(-1),
             "correct_left": (logits_l.argmax(-1) == labels[:, 0]).astype(
                 jnp.float32
             ),

@@ -76,6 +76,75 @@ def write_ncf(root, n_users=200, n_items=100):
             f.write(f"{u},{i},{int(rng.rand() < 0.5)}\n")
 
 
+def write_sign(root, n_feature=1000, num_nodes=3):
+    """Frappe-style instance graphs: ``label feat1 .. featF``."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "sign")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(256):
+            feats = rng.randint(1, n_feature, num_nodes)
+            f.write(f"{int(rng.rand() < 0.5)} " + " ".join(map(str, feats))
+                    + "\n")
+
+
+def write_dpin(root, K=4, L=4, max_item=1000, max_context=1000):
+    """``target_item,target_cat;K·L items;K·L cats;K labels``."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "dpin")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(256):
+            items = ",".join(str(rng.randint(1, max_item))
+                             for _ in range(K * L))
+            cats = ",".join(str(rng.randint(1, max_context))
+                            for _ in range(K * L))
+            labels = ",".join(str(int(rng.rand() < 0.5)) for _ in range(K))
+            f.write(f"{rng.randint(1, max_item)},"
+                    f"{rng.randint(1, max_context)};{items};{cats};{labels}\n")
+
+
+def write_dsin(root, vocab=100, sess_count=2, sess_max_length=4):
+    """``label;15 sparse ids;price;2S·L sess ids;sess_length``."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "dsin")
+    os.makedirs(out, exist_ok=True)
+    rows, cols = 2 * sess_count, sess_max_length
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(256):
+            sparse = ",".join(str(rng.randint(0, vocab)) for _ in range(15))
+            sess = ",".join(str(rng.randint(0, vocab))
+                            for _ in range(rows * cols))
+            f.write(f"{int(rng.rand() < 0.5)};{sparse};"
+                    f"{rng.rand():.4f};{sess};{rng.randint(1, sess_count + 1)}\n")
+
+
+def write_multimnist(root):
+    """Pickle of (x uint8 (N, 36*36), y (N, 2)) — MultiMNIST format."""
+    import pickle
+
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "multimnist")
+    os.makedirs(out, exist_ok=True)
+    x = rng.randint(0, 256, (128, 36 * 36)).astype(np.uint8)
+    y = rng.randint(0, 10, (128, 2)).astype(np.int64)
+    with open(os.path.join(out, "part-0.pickle"), "wb") as f:
+        pickle.dump((x, y), f)
+
+
+def write_edges(root, num_nodes=100):
+    """Edge list ``src dst`` — deepwalk / graph GNN fixture (a ring plus
+    random chords keeps every node connected)."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "edges")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for i in range(num_nodes):
+            f.write(f"{i} {(i + 1) % num_nodes}\n")
+        for _ in range(2 * num_nodes):
+            f.write(f"{rng.randint(num_nodes)} {rng.randint(num_nodes)}\n")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     root = sys.argv[2] if len(sys.argv) > 2 else "test_tipc/data"
@@ -91,4 +160,14 @@ if __name__ == "__main__":
         write_textcnn(root)
     if which in ("ncf", "all"):
         write_ncf(root)
+    if which in ("sign", "all"):
+        write_sign(root)
+    if which in ("dpin", "all"):
+        write_dpin(root)
+    if which in ("dsin", "all"):
+        write_dsin(root)
+    if which in ("multimnist", "all"):
+        write_multimnist(root)
+    if which in ("edges", "all"):
+        write_edges(root)
     print(f"wrote TIPC sample data under {root}")
