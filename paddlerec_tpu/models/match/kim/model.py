@@ -348,3 +348,119 @@ class ModelDef(ModelDef):
             "labels": labels.reshape(-1),
         }
         return loss, aux
+
+    def make_dataset(self, data_dir, batch_size, shuffle=False):
+        from paddlerec_tpu.data.slot_reader import list_data_files
+
+        return KIMDataset(self, data_dir, list_data_files(data_dir),
+                          batch_size)
+
+
+class KIMDataset:
+    """News-matching reader — the reference's MIND pipeline
+    (match/kim/mind_reader.py:36-76) reduced to numeric files so no
+    nltk/KG preprocessing happens at train time.  The data dir holds
+
+      news.tsv       ``news_id<TAB>tok tok ...<TAB>ent ent ...``
+      graph.tsv      ``ent neigh neigh ...``      (one-hop KG neighbours)
+      entity_emb.npy (num_entities, 100) float32  (KG entity vectors)
+      behaviors.tsv  ``clicked,ids<TAB>pos<TAB>neg,neg,...``
+
+    Each behavior row becomes 1 + npratio candidates (positive first,
+    ``labels[:, 0] = 1`` as in get_train_input), titles padded to
+    max_sentence tokens, entity sets to max_entity, and one-hop tensors
+    gathering each entity's neighbour vectors."""
+
+    def __init__(self, md, data_dir, files, batch_size):
+        import os as _os
+
+        self.md = md
+        self.batch_size = batch_size
+        self.behaviors = [
+            f for f in files if _os.path.basename(f).startswith("behaviors")
+        ]
+        root = data_dir
+        self.emb = np.load(_os.path.join(root, "entity_emb.npy")).astype(
+            np.float32
+        )
+        e, w = md.max_entity, md.max_sentence
+        self.news = {}
+        with open(_os.path.join(root, "news.tsv")) as f:
+            for line in f:
+                nid, toks, ents = line.rstrip("\n").split("\t")
+                title = np.zeros(w, np.int64)
+                tt = [int(x) % md.vocab_size for x in toks.split()][:w]
+                title[: len(tt)] = tt
+                ent = np.zeros(e, np.int64)
+                ee = [int(x) % len(self.emb) for x in ents.split()][:e]
+                ent[: len(ee)] = ee
+                self.news[nid] = (title, ent)
+        self.graph = {}
+        with open(_os.path.join(root, "graph.tsv")) as f:
+            for line in f:
+                toks = line.split()
+                if not toks:
+                    continue
+                nb = np.zeros(e, np.int64)
+                ns = [int(x) % len(self.emb) for x in toks[1:]][:e]
+                nb[: len(ns)] = ns
+                self.graph[int(toks[0]) % len(self.emb)] = nb
+
+    def _news_feats(self, nid):
+        title, ent = self.news[nid]
+        e = self.md.max_entity
+        vecs = self.emb[ent]  # (e, D)
+        zero = np.zeros(e, np.int64)
+        hops = self.emb[
+            np.stack([self.graph.get(int(x), zero) for x in ent])
+        ]  # (e, e, D)
+        return title, ent, vecs, hops
+
+    def __iter__(self):
+        md = self.md
+        c, s = 1 + md.npratio, md.max_sents
+        buf = []
+        for path in self.behaviors:
+            with open(path) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) < 3:
+                        continue
+                    clicked = [x for x in parts[0].split(",") if x in self.news]
+                    negs = [x for x in parts[2].split(",") if x in self.news]
+                    if parts[1] not in self.news or not clicked:
+                        continue
+                    cands = ([parts[1]] + negs + [parts[1]] * md.npratio)[:c]
+                    buf.append((clicked[-s:], cands))
+                    if len(buf) == self.batch_size:
+                        yield self._batch(buf)
+                        buf = []
+        if buf:
+            yield self._batch(buf)
+
+    def _batch(self, rows):
+        md = self.md
+        n, c, s = len(rows), 1 + md.npratio, md.max_sents
+        e, w, d = md.max_entity, md.max_sentence, self.emb.shape[1]
+        out = {
+            "titles": np.zeros((n, c, w), np.int64),
+            "entities": np.zeros((n, c, e, d), np.float32),
+            "one_hops": np.zeros((n, c, e, e, d), np.float32),
+            "clicked_title": np.zeros((n, s, w), np.int64),
+            "clicked_entity": np.zeros((n, s, e, d), np.float32),
+            "clicked_one_hop": np.zeros((n, s, e, e, d), np.float32),
+            "labels": np.zeros((n, c), np.float32),
+        }
+        out["labels"][:, 0] = 1.0
+        for i, (clicked, cands) in enumerate(rows):
+            for j, nid in enumerate(cands):
+                title, _, vecs, hops = self._news_feats(nid)
+                out["titles"][i, j] = title
+                out["entities"][i, j] = vecs
+                out["one_hops"][i, j] = hops
+            for j, nid in enumerate(clicked):
+                title, _, vecs, hops = self._news_feats(nid)
+                out["clicked_title"][i, j] = title
+                out["clicked_entity"][i, j] = vecs
+                out["clicked_one_hop"][i, j] = hops
+        return out

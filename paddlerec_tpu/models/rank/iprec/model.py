@@ -276,3 +276,83 @@ class ModelDef(ModelDef):
         if mask is not None:
             aux["mask"] = mask
         return loss, aux
+
+    def make_dataset(self, data_dir, batch_size, shuffle=False):
+        from paddlerec_tpu.data.slot_reader import list_data_files
+
+        return IPRECDataset(self, list_data_files(data_dir), batch_size)
+
+
+class IPRECDataset:
+    """JSON-lines reader (reference rank/iprec/reader.py:24-70): each line
+    is an object whose values, in order, are user, item, biz, friends,
+    user_items, user_bizs, user_friends, user_packages, pack_neighbors_b,
+    pack_neighbors_f, label1, label2.  Ragged lists are padded/truncated
+    to the config maxima; package lists flatten to rows of
+    ``[item, biz, friends...]`` (f_max_len + 2 wide)."""
+
+    def __init__(self, md, files, batch_size):
+        self.md = md
+        self.files = list(files)
+        self.batch_size = batch_size
+
+    @staticmethod
+    def _pad1(x, length):
+        x = list(x)[:length]
+        return x + [0] * (length - len(x))
+
+    def _packs(self, flat, length):
+        w = self.md.f_max_len + 2
+        arr = np.asarray(list(flat) + [0] * (-len(flat) % w),
+                         np.int64).reshape(-1, w)[:length]
+        out = np.zeros((length, w), np.int64)
+        out[: len(arr)] = arr
+        return out
+
+    def _row(self, data):
+        md = self.md
+        (user, item, biz, friends, u_items, u_bizs, u_friends, u_packs,
+         nei_b, nei_f, label1, *_rest) = list(data.values())
+        return {
+            "user": np.int64(user % md.num_users),
+            "item": np.int64(item % md.num_items),
+            "biz": np.int64(biz % md.num_bizs),
+            "friends": np.asarray(self._pad1(friends, md.f_max_len),
+                                  np.int64),
+            "user_items": np.asarray(self._pad1(u_items, md.u_max_i),
+                                     np.int64),
+            "user_bizs": np.asarray(self._pad1(u_bizs, md.u_max_i),
+                                    np.int64),
+            "user_friends": np.asarray(self._pad1(u_friends, md.u_max_f),
+                                       np.int64),
+            "user_packages": self._packs(u_packs, md.u_max_pack),
+            "pack_neighbors_b": self._packs(nei_b, md.pack_max_nei_b),
+            "pack_neighbors_f": self._packs(nei_f, md.pack_max_nei_f),
+            "label": np.float32(label1),
+        }
+
+    def __iter__(self):
+        import json
+
+        buf = []
+        for path in self.files:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        buf.append(self._row(json.loads(line)))
+                    except (ValueError, TypeError):
+                        continue
+                    if len(buf) == self.batch_size:
+                        yield self._batch(buf)
+                        buf = []
+        if buf:
+            yield self._batch(buf)
+
+    @staticmethod
+    def _batch(rows):
+        out = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        out["mask"] = np.ones(len(rows), np.float32)
+        return out

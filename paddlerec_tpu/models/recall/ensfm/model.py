@@ -147,3 +147,57 @@ class ModelDef(ModelDef):
             batch["user_features"], batch["item_attribute"],
         )
         return {"scores": pre}
+
+    def make_dataset(self, data_dir, batch_size, shuffle=False):
+        from paddlerec_tpu.data.slot_reader import list_data_files
+
+        return ENSFMDataset(
+            list_data_files(data_dir), self.num_users, self.num_items,
+            self.max_pos, batch_size,
+        )
+
+
+class ENSFMDataset:
+    """Interaction CSV in the reference's movielens binding format
+    (models/recall/ensfm/data/sample_data/train.csv): each line is one
+    positive interaction ``ufeat1-ufeat2-...,ifeat1-ifeat2-...``.
+    Distinct user / item feature tuples are bound to dense ids in
+    first-seen order (the LoadData.bind_user / bind_item analog,
+    movielens_reader.py:46-115); a batch row is one user with its
+    positive-item list padded to ``max_pos`` with the ``num_items``
+    pad token."""
+
+    def __init__(self, files, num_users, num_items, max_pos, batch_size):
+        self.files = list(files)
+        self.num_users = num_users
+        self.num_items = num_items
+        self.max_pos = max_pos
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        users, items, pos = {}, {}, {}
+        for path in self.files:
+            with open(path) as f:
+                for line in f:
+                    parts = line.strip().split(",")
+                    if len(parts) < 2:
+                        continue
+                    uid = users.setdefault(parts[0], len(users))
+                    iid = items.setdefault(parts[1], len(items))
+                    pos.setdefault(uid % self.num_users, []).append(
+                        iid % self.num_items
+                    )
+        item_attr = np.arange(self.num_items, dtype=np.int64)[:, None]
+        uids = sorted(pos)
+        bs, mp = self.batch_size, self.max_pos
+        for i in range(0, len(uids), bs):
+            chunk = uids[i : i + bs]
+            positives = np.full((len(chunk), mp), self.num_items, np.int64)
+            for r, u in enumerate(chunk):
+                p = pos[u][:mp]
+                positives[r, : len(p)] = p
+            yield {
+                "user_features": np.asarray(chunk, np.int64)[:, None],
+                "item_attribute": item_attr,
+                "positives": positives,
+            }

@@ -188,3 +188,85 @@ class ModelDef(ModelDef):
             {"params": params}, log_seqs, time_matrices,
             item_indices=item_indices,
         )
+
+    def make_dataset(self, data_dir, batch_size, shuffle=False):
+        from paddlerec_tpu.data.slot_reader import list_data_files
+
+        return TiSASDataset(
+            list_data_files(data_dir), self.item_num, self.maxlen,
+            self.time_span, batch_size,
+        )
+
+
+class TiSASDataset:
+    """TSV ``user item rating timestamp`` (the reference movielens_reader
+    format, models/recall/tisas/data/sample_data).  Interactions are
+    grouped per user in time order; each row emits the left-padded item
+    history, the next-item positives, uniform negatives guaranteed != pos,
+    and the personalized time-relation matrix
+    ``clip(|t_i - t_j| / min_gap, time_span - 1)`` (TiSASRec's
+    computeRePos)."""
+
+    def __init__(self, files, item_num, maxlen, time_span, batch_size,
+                 seed=2023):
+        self.files = list(files)
+        self.item_num = item_num
+        self.maxlen = maxlen
+        self.time_span = time_span
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def _row(self, events, rng):
+        t = self.maxlen
+        events.sort()
+        seq = [(it % self.item_num) + 1 for _, it in events]
+        ts = [e[0] for e in events]
+        seq, ts = seq[-(t + 1):], ts[-(t + 1):]
+        log = np.zeros(t, np.int64)
+        pos = np.zeros(t, np.int64)
+        tvec = np.full(t, ts[0], np.int64)
+        n = len(seq) - 1
+        log[t - n:] = seq[:-1]
+        pos[t - n:] = seq[1:]
+        tvec[t - n:] = ts[:-1]
+        gaps = np.diff(sorted(set(ts)))
+        min_gap = int(gaps.min()) if len(gaps) else 1
+        rel = np.abs(tvec[:, None] - tvec[None, :]) // max(min_gap, 1)
+        tmat = np.clip(rel, 0, self.time_span - 1).astype(np.int64)
+        neg = np.where(
+            pos > 0,
+            ((pos - 1 + rng.randint(1, self.item_num, t)) % self.item_num)
+            + 1,
+            0,
+        ).astype(np.int64)
+        return log, tmat, pos, neg
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        by_user = {}
+        for path in self.files:
+            with open(path) as f:
+                for line in f:
+                    toks = line.split()
+                    if len(toks) < 4:
+                        continue
+                    by_user.setdefault(toks[0], []).append(
+                        (int(float(toks[3])), int(toks[1]))
+                    )
+        buf = []
+        for user in sorted(by_user):
+            if len(by_user[user]) < 2:
+                continue
+            buf.append(self._row(by_user[user], rng))
+            if len(buf) == self.batch_size:
+                yield self._batch(buf)
+                buf = []
+        if buf:
+            yield self._batch(buf)
+
+    def _batch(self, rows):
+        log, tmat, pos, neg = (np.stack(x) for x in zip(*rows))
+        return {
+            "log_seqs": log, "time_matrices": tmat,
+            "pos_seqs": pos, "neg_seqs": neg,
+        }

@@ -145,6 +145,95 @@ def write_edges(root, num_nodes=100):
             f.write(f"{rng.randint(num_nodes)} {rng.randint(num_nodes)}\n")
 
 
+def write_ensfm(root, n_users=60, n_items=40):
+    """ENSFM interaction CSV: ``ufeats,ifeats`` (dash-joined tuples)."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "ensfm")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(400):
+            u, i = rng.randint(n_users), rng.randint(n_items)
+            f.write(f"{u}-{u + n_users},{i}-{i + n_items}\n")
+
+
+def write_tisas(root, n_users=48, n_items=100):
+    """TiSAS TSV: ``user item rating timestamp``."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "tisas")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for u in range(n_users):
+            t = 978000000 + rng.randint(0, 10000)
+            for _ in range(rng.randint(4, 14)):
+                t += rng.randint(60, 86400)
+                f.write(f"{u}\t{rng.randint(1, n_items)}\t"
+                        f"{rng.randint(1, 6)}\t{t}\n")
+
+
+def write_iprec(root, n_users=100, n_items=100, n_bizs=50, f_max_len=4):
+    """IPREC JSON-lines with the reference reader's key order."""
+    import json
+
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "iprec")
+    os.makedirs(out, exist_ok=True)
+
+    def pack(n):
+        flat = []
+        for _ in range(n):
+            flat += [int(rng.randint(n_items)), int(rng.randint(n_bizs))]
+            flat += [int(rng.randint(n_users)) for _ in range(f_max_len)]
+        return flat
+
+    with open(os.path.join(out, "part-0"), "w") as f:
+        for _ in range(128):
+            row = {
+                "user": int(rng.randint(n_users)),
+                "item": int(rng.randint(n_items)),
+                "biz": int(rng.randint(n_bizs)),
+                "friends": [int(rng.randint(n_users)) for _ in range(3)],
+                "user_items": [int(rng.randint(n_items)) for _ in range(6)],
+                "user_bizs": [int(rng.randint(n_bizs)) for _ in range(6)],
+                "user_friends": [int(rng.randint(n_users))
+                                 for _ in range(5)],
+                "user_packages": pack(3),
+                "pack_neighbors_b": pack(2),
+                "pack_neighbors_f": pack(2),
+                "label1": int(rng.rand() < 0.5),
+                "label2": 0,
+            }
+            f.write(json.dumps(row) + "\n")
+
+
+def write_kim(root, n_news=50, n_entities=20, vocab=200, ent_dim=100):
+    """KIM numeric MIND files: news.tsv / graph.tsv / entity_emb.npy /
+    behaviors.tsv."""
+    rng = np.random.RandomState(0)
+    out = os.path.join(root, "kim")
+    os.makedirs(out, exist_ok=True)
+    np.save(os.path.join(out, "entity_emb.npy"),
+            rng.randn(n_entities, ent_dim).astype(np.float32))
+    with open(os.path.join(out, "news.tsv"), "w") as f:
+        for n in range(n_news):
+            toks = " ".join(str(rng.randint(1, vocab))
+                            for _ in range(rng.randint(3, 8)))
+            ents = " ".join(str(rng.randint(n_entities))
+                            for _ in range(rng.randint(1, 3)))
+            f.write(f"N{n}\t{toks}\t{ents}\n")
+    with open(os.path.join(out, "graph.tsv"), "w") as f:
+        for e in range(n_entities):
+            nbs = " ".join(str(rng.randint(n_entities))
+                           for _ in range(rng.randint(1, 3)))
+            f.write(f"{e} {nbs}\n")
+    with open(os.path.join(out, "behaviors.tsv"), "w") as f:
+        for _ in range(128):
+            clicked = ",".join(f"N{rng.randint(n_news)}"
+                               for _ in range(rng.randint(1, 5)))
+            pos = f"N{rng.randint(n_news)}"
+            negs = ",".join(f"N{rng.randint(n_news)}" for _ in range(2))
+            f.write(f"{clicked}\t{pos}\t{negs}\n")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     root = sys.argv[2] if len(sys.argv) > 2 else "test_tipc/data"
@@ -170,4 +259,12 @@ if __name__ == "__main__":
         write_multimnist(root)
     if which in ("edges", "all"):
         write_edges(root)
+    if which in ("ensfm", "all"):
+        write_ensfm(root)
+    if which in ("tisas", "all"):
+        write_tisas(root)
+    if which in ("iprec", "all"):
+        write_iprec(root)
+    if which in ("kim", "all"):
+        write_kim(root)
     print(f"wrote TIPC sample data under {root}")
