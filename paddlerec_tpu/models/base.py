@@ -114,6 +114,102 @@ class ModelDef:
         _, aux = self.train_forward(params, batch)
         return aux
 
+    # -- sparse (row-wise) embedding updates -----------------------------------
+    # hyper_parameters.sparse_update: true routes embedding tables through
+    # the delta grad tap (ops/embedding.py external_update) so the
+    # optimizer touches ONLY the rows a batch used — the PS-accessor
+    # semantics (config_fleet.py:60-104), essential at vocab >= 10^7.
+    def sparse_update_enabled(self) -> bool:
+        return bool(self.config.hyper("sparse_update", False))
+
+    def _sparse_update_rule(self) -> str:
+        # "adam": element-wise moments, exact parity with dense Adam on
+        # touched rows.  "adagrad": scalar per-row accumulator — the
+        # reference sparse accessor's rule and ~40% less update traffic.
+        return str(self.config.hyper("sparse_update_rule", "adam")).lower()
+
+    def init_sparse_state(self, params: Any):
+        """Row-wise optimizer state for every tapped table (or None)."""
+        from paddlerec_tpu.ops.sparse_update import (
+            find_sparse_taps, get_path, rowwise_adagrad_init,
+            rowwise_adam_init,
+        )
+
+        taps = find_sparse_taps(params)
+        if not taps:
+            return None
+        init = (rowwise_adagrad_init
+                if self._sparse_update_rule() == "adagrad"
+                else rowwise_adam_init)
+        return {
+            "/".join(d): init(get_path(params, t))
+            for d, t in taps.items()
+        }
+
+    def sparse_update_ids(self, batch: Batch) -> jnp.ndarray:
+        return batch["sparse"]
+
+    def augment_batch_host(self, batch: Batch) -> Batch:
+        """Host-side batch enrichment (runs in the input pipeline):
+        dedup the batch's physical rows so the device never needs an
+        O(vocab) grad scratch or a device-side sort."""
+        if not self.sparse_update_enabled() or "sparse_uniq" in batch:
+            return batch
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+        from paddlerec_tpu.ops.sparse_update import host_dedup
+
+        vocab = int(self.config.hyper("sparse_feature_number", 1000001))
+        dim = int(self.config.hyper("sparse_feature_dim", 9))
+        pack = 128 // sub_width(dim)
+        uniq, slot = host_dedup(self.sparse_update_ids(batch), vocab, pack)
+        return dict(batch, sparse_uniq=uniq, sparse_slot=slot)
+
+    def apply_sparse_updates(self, params: Any, extra, grads: Any,
+                             batch: Batch):
+        """Consume delta grads → row-wise Adam on the tapped tables.
+
+        Runs inside the jitted train step, after the dense optimizer
+        (which sees zero updates for the table and delta leaves)."""
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+        from paddlerec_tpu.ops.sparse_update import (
+            apply_sparse_adagrad, apply_sparse_adagrad_compact,
+            apply_sparse_adam_compact, apply_sparse_update,
+            find_sparse_taps, get_path, infer_pack, set_path,
+        )
+
+        adagrad = self._sparse_update_rule() == "adagrad"
+        taps = find_sparse_taps(params)
+        lr = float(self.config.hyper("optimizer.learning_rate", 0.001))
+        vocab = int(self.config.hyper("sparse_feature_number", 1000001))
+        default_pack = 128 // sub_width(
+            int(self.config.hyper("sparse_feature_dim", 9))
+        )
+        ids = self.sparse_update_ids(batch)
+        new_extra = dict(extra)
+        for dpath, tpath in taps.items():
+            table = get_path(params, tpath)
+            pack = infer_pack(vocab, table.shape[0])
+            key = "/".join(dpath)
+            if "sparse_uniq" in batch and pack == default_pack:
+                # host-deduped fast path: O(batch) scratch, unique
+                # scatter indices — required for vocab >= ~10^8
+                apply_fn = (apply_sparse_adagrad_compact if adagrad
+                            else apply_sparse_adam_compact)
+                new_table, st = apply_fn(
+                    table, extra[key], get_path(grads, dpath),
+                    batch["sparse_uniq"], batch["sparse_slot"], lr,
+                )
+            else:
+                apply_fn = (apply_sparse_adagrad if adagrad
+                            else apply_sparse_update)
+                phys = ((ids % vocab).reshape(-1) // pack).astype(jnp.int32)
+                new_table, st = apply_fn(
+                    table, extra[key], get_path(grads, dpath), phys, lr
+                )
+            params = set_path(params, tpath, new_table)
+            new_extra[key] = st
+        return params, new_extra
+
     # -- optimizer -------------------------------------------------------------
     def create_optimizer(self) -> optax.GradientTransformation:
         """Optimizer from hyper_parameters.optimizer.* (reference
@@ -123,6 +219,26 @@ class ModelDef:
         clip = cfg.hyper("clip_by_norm")
         if clip:
             tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        if self.sparse_update_enabled():
+            # the tapped tables and their deltas are updated row-wise by
+            # apply_sparse_updates; freeze them for the dense optimizer so
+            # it never traverses the full table
+            from paddlerec_tpu.ops.sparse_update import find_sparse_taps
+
+            def label_fn(params):
+                taps = find_sparse_taps(params)
+                frozen = set(taps) | set(taps.values())
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen"
+                    if tuple(
+                        getattr(k, "key", k) for k in path
+                    ) in frozen else "main",
+                    params,
+                )
+
+            tx = optax.multi_transform(
+                {"main": tx, "frozen": optax.set_to_zero()}, label_fn
+            )
         return tx
 
     def _base_optimizer(self) -> optax.GradientTransformation:

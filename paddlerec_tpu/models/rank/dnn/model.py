@@ -22,12 +22,16 @@ class CtrDnnNet(nn.Module):
     vocab_size: int
     embedding_dim: int
     fc_sizes: Sequence[int]
+    external_update: bool = False
+    delta_capacity: int = 0
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
-        emb = SlotEmbedding(self.vocab_size, self.embedding_dim, name="embedding")(
-            sparse_ids
-        )  # (B, S, E)
+        emb = SlotEmbedding(
+            self.vocab_size, self.embedding_dim, name="embedding",
+            external_update=self.external_update,
+            delta_capacity=self.delta_capacity,
+        )(sparse_ids)  # (B, S, E)
         b = emb.shape[0]
         feat = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
         hidden = MLP(list(self.fc_sizes), name="tower")(feat)
@@ -40,4 +44,15 @@ class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
         fc_sizes = config.hyper("fc_sizes", [512, 256, 128, 32])
-        self.module = CtrDnnNet(self.vocab_size, self.embedding_dim, fc_sizes)
+        sparse_update = bool(config.hyper("sparse_update", False))
+        # the delta must fit the LARGEST batch the module will see —
+        # infer batches are routinely bigger than train batches
+        max_bs = max(int(config.runner("train_batch_size", 512)),
+                     int(config.runner("infer_batch_size", 512)))
+        capacity = int(config.hyper(
+            "sparse_update_capacity", self.num_sparse * max_bs,
+        )) if sparse_update else 0
+        self.module = CtrDnnNet(
+            self.vocab_size, self.embedding_dim, fc_sizes,
+            external_update=sparse_update, delta_capacity=capacity,
+        )

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from numpy import prod as np_prod
+
 from paddlerec_tpu.ops.packed_embedding import init_packed_table, packed_lookup
 
 # Param names with this prefix get row-sharded over the model axis (see
@@ -56,6 +58,13 @@ class SlotEmbedding(nn.Module):
     distributed: Optional[bool] = None
     param_dtype: jnp.dtype = jnp.float32
     init_stddev: float = 1e-2
+    # external (sparse) update mode: the table is read through
+    # stop_gradient and a zero "embedding_delta" param taps per-position
+    # row grads, so the optimizer can update ONLY touched rows
+    # (ops/sparse_update.py).  delta_capacity bounds positions per batch
+    # (0 = size to the first batch seen).
+    external_update: bool = False
+    delta_capacity: int = 0
 
     def _use_distributed(self) -> bool:
         from paddlerec_tpu.parallel import context
@@ -63,6 +72,48 @@ class SlotEmbedding(nn.Module):
         if self.distributed is not None:
             return self.distributed and context.get_mesh() is not None
         return self.packed and context.model_parallel_size() > 1
+
+    def _external_lookup(self, table: jnp.ndarray, ids: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """Sparse-update path: stop-grad table read + delta grad tap.
+
+        Math is identical to packed_lookup; only the autodiff routing
+        differs — grads land on the (C, 128) delta instead of a dense
+        (R, 128) table grad.  The trainer turns the delta grads into a
+        row-wise optimizer step (ops/sparse_update.py) and the delta
+        itself stays zero forever (its optax label is set_to_zero)."""
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+
+        w = sub_width(self.embedding_dim)
+        pack = 128 // w
+        n = int(np_prod(ids.shape))
+        cap = self.delta_capacity or n
+        if n > cap:
+            raise ValueError(
+                f"batch has {n} lookup positions > delta_capacity {cap}; "
+                "raise hyper_parameters.sparse_update_capacity"
+            )
+        delta = self.param(
+            "embedding_delta", nn.initializers.zeros, (cap, 128),
+            self.param_dtype,
+        )
+        phys = (ids // pack).astype(jnp.int32)
+        sub = (ids % pack).astype(jnp.int32)
+        rows = jnp.take(
+            jax.lax.stop_gradient(table), phys, axis=0, mode="clip"
+        ).reshape(-1, 128) + delta[:n]
+        rows = rows.reshape(ids.shape + (pack, w))
+        if pack == 1:
+            vecs = rows[..., 0, :]
+        else:
+            onehot = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, ids.shape + (pack,), ids.ndim
+                )
+                == sub[..., None]
+            )
+            vecs = jnp.sum(rows * onehot[..., None].astype(rows.dtype), -2)
+        return vecs[..., : self.embedding_dim]
 
     @nn.compact
     def __call__(
@@ -102,7 +153,10 @@ class SlotEmbedding(nn.Module):
                     dtype=self.param_dtype,
                 ),
             )
-            vecs = packed_lookup(table, ids, self.embedding_dim)
+            if self.external_update:
+                vecs = self._external_lookup(table, ids)
+            else:
+                vecs = packed_lookup(table, ids, self.embedding_dim)
         else:
             table = self.param(
                 EMBEDDING_PARAM_NAME,

@@ -10,14 +10,16 @@ Each grid step produces a (BLOCK=8, 128) output tile (the minimum TPU
 tile), issuing all 8·L row DMAs before waiting — deep enough pipelining
 to hide most of the per-DMA latency.
 
-Honest status: (a) on the current target chip XLA's batched gather is
-extremely strong (see ops/packed_embedding.py's A/B record), and (b) the
-hardware tunnel's chipless AOT compile helper currently fails to compile
-Mosaic kernels at all ("tpu_compile_helper subprocess exit code 1" —
-libtpu init env issue in the remote-compile sandbox, not a kernel error;
-XLA HLO compiles fine through the same path).  So this kernel is OPT-IN:
-correctness is locked by interpreter-mode parity tests on the CPU mesh,
-and the on-device A/B belongs to round 2 / direct-attached hardware.
+Honest status (updated after the tunnel's Mosaic remote-compile started
+working): the kernel now compiles AND matches XLA numerically on the
+real chip (v5e, R=125k, N=8192, L=20: parity True).  Measured in a
+chained full-readback loop it runs 5.97 ms vs 1.71 ms for XLA's
+take+reduce — per-row 512 B DMA issue cost dominates (N·L = 163k DMAs),
+and XLA's batched gather engine is simply stronger on this part.  The
+kernel stays OPT-IN as a reference DMA pattern; the (1, B, L) mask
+block had to become (1, B, 128) — a small-minor-dim block violates TPU
+tiling and aborts the Mosaic compile ("tpu_compile_helper subprocess
+exit code 1").
 """
 
 from __future__ import annotations
@@ -56,10 +58,13 @@ def _gather_pool_kernel(ids_ref, table_ref, mask_ref, out_ref, scratch,
 
     jax.lax.fori_loop(0, total, wait, 0)
 
-    # weighted pool: scratch (B·L, 128) ⊙ mask (1, B, L) → (B, 128)
-    w_flat = mask_ref[0].reshape(total).astype(scratch.dtype)
-    rows = scratch[:] * w_flat[:, None]
-    out_ref[:] = rows.reshape(BLOCK, pool_l, -1).sum(axis=1)
+    # weighted pool: scratch (B·L, 128) ⊙ mask (1, B, 128-padded L)
+    # → (B, 128).  The mask block keeps a 128-lane minor dim (a (1,B,L)
+    # block with small L violates TPU tiling and kills the Mosaic
+    # compile); only the first L lanes carry weights.
+    w = mask_ref[0][:, :pool_l].astype(scratch.dtype)  # (B, L)
+    rows = scratch[:].reshape(BLOCK, pool_l, -1)
+    out_ref[:] = (rows * w[:, :, None]).sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -69,8 +74,13 @@ def gather_pool(table, ids, mask, interpret: bool = False):
     N must be a multiple of 8 (pad the batch)."""
     n, pool_l = ids.shape
     assert n % BLOCK == 0, f"N={n} must be a multiple of {BLOCK}"
+    assert pool_l <= 128, "pool_l > 128: split the pooled axis"
     flat_ids = ids.reshape(-1).astype(jnp.int32)
-    mask3 = mask.reshape(n // BLOCK, BLOCK, pool_l).astype(jnp.float32)
+    # pad the mask's minor dim to a full 128 lanes (tiling requirement)
+    mask3 = jnp.zeros((n // BLOCK, BLOCK, 128), jnp.float32)
+    mask3 = mask3.at[:, :, :pool_l].set(
+        mask.reshape(n // BLOCK, BLOCK, pool_l).astype(jnp.float32)
+    )
     kernel = functools.partial(_gather_pool_kernel, pool_l=pool_l)
     return pl.pallas_call(
         kernel,
@@ -81,7 +91,7 @@ def gather_pool(table, ids, mask, interpret: bool = False):
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # table in HBM
                 pl.BlockSpec(  # per-step mask tile in VMEM
-                    (1, BLOCK, pool_l), lambda g, ids: (g, 0, 0)
+                    (1, BLOCK, 128), lambda g, ids: (g, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(

@@ -1,0 +1,321 @@
+"""Sparse row-wise optimizer for packed embedding tables.
+
+Why: with a dense optimizer every step pays read+write over the FULL
+table and both Adam moments — at production vocab (10^7-10^9 rows) that
+traffic dominates the step (measured on v5e: DeepFM at vocab 10^7 runs
+18.4 ms/step dense vs ~9 ms with the table update removed).  The
+reference never pays this either: its PS accessors update only the
+features a batch touched (DownpourCtrDymfAccessor,
+tools/utils/static_ps/config_fleet.py:60-104).
+
+TPU-native mechanism (all inside one jit, static shapes):
+
+1. the embedding module reads the table through ``stop_gradient`` and
+   adds a zero-initialized ``embedding_delta`` param per lookup
+   position — autodiff then delivers per-position 128-lane row grads on
+   the delta leaf instead of a dense (R, 128) grad table;
+2. ``dedup_rows`` sorts the batch's physical row ids into a padded
+   unique set (sentinel = num_rows) with a position→slot map;
+3. ``rowwise_adam`` gathers table/moment rows for the unique set,
+   applies Adam with PER-ROW step counts (lazy-Adam bias correction —
+   same semantics as ``train/optimizers.py`` lazy_adam and the
+   reference's per-feature accessors), and scatters them back.  Only
+   touched rows generate HBM traffic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dedup_rows(phys: jnp.ndarray, num_rows: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape unique for physical row ids.
+
+    phys: (N,) int32 row ids in [0, num_rows).
+    Returns (uniq (N,), slot (N,)): ``uniq`` holds each distinct row once
+    (remaining slots = ``num_rows``, the drop sentinel) and ``slot[i]`` is
+    the index of ``phys[i]`` within ``uniq``."""
+    n = phys.shape[0]
+    order = jnp.argsort(phys)
+    s = phys[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    pos = jnp.cumsum(is_new) - 1  # slot of each sorted element
+    uniq = jnp.full((n,), num_rows, phys.dtype).at[pos].set(s)
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(pos.astype(jnp.int32))
+    return uniq, slot
+
+
+class RowwiseAdamState(NamedTuple):
+    m: jnp.ndarray      # (R, 128) first moment
+    v: jnp.ndarray      # (R, 128) second moment
+    count: jnp.ndarray  # (R,) per-row step count (lazy bias correction)
+
+
+def rowwise_adam_init(table: jnp.ndarray) -> RowwiseAdamState:
+    return RowwiseAdamState(
+        m=jnp.zeros_like(table),
+        v=jnp.zeros_like(table),
+        count=jnp.zeros((table.shape[0],), jnp.int32),
+    )
+
+
+def rowwise_adam(
+    table: jnp.ndarray,
+    state: RowwiseAdamState,
+    uniq: jnp.ndarray,
+    row_grads: jnp.ndarray,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, RowwiseAdamState]:
+    """Adam on exactly the ``uniq`` rows (sentinel rows are dropped).
+
+    row_grads: (U, 128) summed gradients aligned with ``uniq``."""
+    num_rows = table.shape[0]
+    valid = (uniq < num_rows)[:, None]
+    safe = jnp.where(uniq < num_rows, uniq, 0)
+    g = row_grads.astype(table.dtype)
+    t_r = table[safe]
+    m_r = state.m[safe]
+    v_r = state.v[safe]
+    c_r = state.count[safe] + 1
+    m_n = b1 * m_r + (1.0 - b1) * g
+    v_n = b2 * v_r + (1.0 - b2) * g * g
+    c_f = c_r.astype(table.dtype)[:, None]
+    m_hat = m_n / (1.0 - b1**c_f)
+    v_hat = v_n / (1.0 - b2**c_f)
+    t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    # sentinel (and masked) rows scatter out of bounds → dropped
+    idx = jnp.where(valid[:, 0], uniq, num_rows)
+    new_table = table.at[idx].set(jnp.where(valid, t_n, t_r), mode="drop")
+    return new_table, RowwiseAdamState(
+        m=state.m.at[idx].set(jnp.where(valid, m_n, m_r), mode="drop"),
+        v=state.v.at[idx].set(jnp.where(valid, v_n, v_r), mode="drop"),
+        count=state.count.at[idx].set(
+            jnp.where(valid[:, 0], c_r, c_r - 1), mode="drop"
+        ),
+    )
+
+
+class RowwiseAdagradState(NamedTuple):
+    """Scalar per-row accumulator — the reference sparse accessor's
+    layout (DownpourCtrDymfAccessor keeps one g2sum per feature, not per
+    element; config_fleet.py:84-104)."""
+
+    acc: jnp.ndarray  # (R,) sum of per-row mean squared grads
+
+
+def rowwise_adagrad_init(table: jnp.ndarray) -> RowwiseAdagradState:
+    return RowwiseAdagradState(
+        acc=jnp.zeros((table.shape[0],), table.dtype)
+    )
+
+
+def apply_sparse_adagrad(
+    table: jnp.ndarray,
+    state: RowwiseAdagradState,
+    delta_grad: jnp.ndarray,
+    phys: jnp.ndarray,
+    lr: float,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
+    """Sort-free row-wise adagrad: minimum-traffic sparse update.
+
+    HBM ops: one scatter-add (grad sum), two row gathers, one row
+    scatter, plus (R,)-sized accumulator traffic — ~4 passes over the
+    touched rows instead of 6 full-table passes for dense Adam.
+    Duplicate positions write identical values (see
+    apply_sparse_update)."""
+    n = phys.shape[0]
+    phys = phys.astype(jnp.int32)
+    g_dense = jnp.zeros_like(table).at[phys].add(
+        delta_grad[:n].astype(table.dtype), mode="drop"
+    )
+    g_r = g_dense[phys]
+    a_r = state.acc[phys] + (g_r * g_r).mean(-1)
+    t_n = table[phys] - lr * g_r * jax.lax.rsqrt(a_r + eps)[:, None]
+    return (
+        table.at[phys].set(t_n, mode="drop"),
+        RowwiseAdagradState(acc=state.acc.at[phys].set(a_r, mode="drop")),
+    )
+
+
+SENTINEL = np.iinfo(np.int32).max  # padded uniq slots; scatter-drop target
+
+
+def host_dedup(ids, vocab: int, pack: int):
+    """Host-side (numpy) dedup of a batch's physical rows — runs in the
+    input pipeline, overlapped with device compute.  Returns
+    (uniq (N,) int32 padded with SENTINEL, slot (N,) int32)."""
+    phys = (np.asarray(ids).reshape(-1) % vocab) // pack
+    uniq, slot = np.unique(phys, return_inverse=True)
+    out = np.full(phys.size, SENTINEL, np.int32)
+    out[: len(uniq)] = uniq
+    return out, slot.reshape(-1).astype(np.int32)
+
+
+def _compact_grad(table, delta_grad, uniq, slot):
+    n = slot.shape[0]
+    g_uniq = jnp.zeros((uniq.shape[0], 128), table.dtype).at[slot].add(
+        delta_grad[:n].astype(table.dtype)
+    )
+    safe = jnp.minimum(uniq, table.shape[0] - 1)
+    return g_uniq, safe
+
+
+def apply_sparse_adagrad_compact(
+    table: jnp.ndarray,
+    state: RowwiseAdagradState,
+    delta_grad: jnp.ndarray,
+    uniq: jnp.ndarray,
+    slot: jnp.ndarray,
+    lr: float,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
+    """Row-wise adagrad with HOST-deduped rows: the only O(R) memory is
+    the table itself — the grad scratch is (N, 128), so vocab 10^8 fits
+    on one chip (dense Adam's 3× table footprint OOMs there)."""
+    g_uniq, safe = _compact_grad(table, delta_grad, uniq, slot)
+    a_r = state.acc[safe] + (g_uniq * g_uniq).mean(-1)
+    t_n = table[safe] - lr * g_uniq * jax.lax.rsqrt(a_r + eps)[:, None]
+    return (
+        table.at[uniq].set(t_n, mode="drop", unique_indices=True),
+        RowwiseAdagradState(
+            acc=state.acc.at[uniq].set(a_r, mode="drop",
+                                       unique_indices=True)
+        ),
+    )
+
+
+def apply_sparse_adam_compact(
+    table: jnp.ndarray,
+    state: RowwiseAdamState,
+    delta_grad: jnp.ndarray,
+    uniq: jnp.ndarray,
+    slot: jnp.ndarray,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, RowwiseAdamState]:
+    """Row-wise Adam with HOST-deduped rows (see adagrad variant)."""
+    g_uniq, safe = _compact_grad(table, delta_grad, uniq, slot)
+    m_n = b1 * state.m[safe] + (1.0 - b1) * g_uniq
+    v_n = b2 * state.v[safe] + (1.0 - b2) * g_uniq * g_uniq
+    c_r = state.count[safe] + 1
+    c_f = c_r.astype(table.dtype)[:, None]
+    t_n = table[safe] - lr * (m_n / (1.0 - b1**c_f)) / (
+        jnp.sqrt(v_n / (1.0 - b2**c_f)) + eps
+    )
+    kw = dict(mode="drop", unique_indices=True)
+    return (
+        table.at[uniq].set(t_n, **kw),
+        RowwiseAdamState(
+            m=state.m.at[uniq].set(m_n, **kw),
+            v=state.v.at[uniq].set(v_n, **kw),
+            count=state.count.at[uniq].set(c_r, **kw),
+        ),
+    )
+
+
+def apply_sparse_update(
+    table: jnp.ndarray,
+    state: RowwiseAdamState,
+    delta_grad: jnp.ndarray,
+    phys: jnp.ndarray,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, RowwiseAdamState]:
+    """Per-position delta grads + physical row ids → row-wise Adam step.
+
+    Sort-free scheme (TPU sorts are slow — a 221k argsort costs more
+    than the whole dense step): scatter-add the per-position grads into
+    a dense (R, 128) scratch (the same op the dense backward performs),
+    then gather/compute/scatter at the RAW position list.  Duplicate
+    positions read the same summed grad and therefore write identical
+    values, so last-writer-wins scatter is exact; each touched row is
+    advanced exactly one Adam step.  Only touched rows generate moment
+    and table traffic — the full-table traversal that dominates dense
+    Adam at vocab >= 10^7 never happens.
+
+    delta_grad: (C, 128) grads on the embedding_delta param (positions
+    beyond the batch's N are zero).
+    phys: (N,) physical row per lookup position, N <= C."""
+    n = phys.shape[0]
+    phys = phys.astype(jnp.int32)
+    g_dense = jnp.zeros_like(table).at[phys].add(
+        delta_grad[:n].astype(table.dtype), mode="drop"
+    )
+    g_r = g_dense[phys]
+    t_r = table[phys]
+    m_r = state.m[phys]
+    v_r = state.v[phys]
+    c_r = state.count[phys] + 1
+    m_n = b1 * m_r + (1.0 - b1) * g_r
+    v_n = b2 * v_r + (1.0 - b2) * g_r * g_r
+    c_f = c_r.astype(table.dtype)[:, None]
+    m_hat = m_n / (1.0 - b1**c_f)
+    v_hat = v_n / (1.0 - b2**c_f)
+    t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    return (
+        table.at[phys].set(t_n, mode="drop"),
+        RowwiseAdamState(
+            m=state.m.at[phys].set(m_n, mode="drop"),
+            v=state.v.at[phys].set(v_n, mode="drop"),
+            count=state.count.at[phys].set(c_r, mode="drop"),
+        ),
+    )
+
+
+def infer_pack(vocab: int, rows: int) -> int:
+    """Recover the pack factor of a packed (rows, 128) table from its row
+    count (same trick as tools/export_cube.py's width inference)."""
+    for w in (8, 16, 32, 64, 128):
+        pack = 128 // w
+        if (vocab + pack - 1) // pack == rows:
+            return pack
+    raise ValueError(f"no pack factor maps vocab {vocab} to {rows} rows")
+
+
+def find_sparse_taps(params: Any) -> Dict[Tuple, Tuple]:
+    """Map delta-param paths → sibling table paths in a params tree.
+
+    The external-update SlotEmbedding stores ``embedding_delta`` next to
+    its ``embedding`` table; both live under the same module scope."""
+    from paddlerec_tpu.ops.embedding import EMBEDDING_PARAM_NAME
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = {tuple(k.key for k in p): None for p, _ in flat}
+    taps = {}
+    for p in paths:
+        if p and p[-1] == "embedding_delta":
+            table = p[:-1] + (EMBEDDING_PARAM_NAME,)
+            if table in paths:
+                taps[p] = table
+    return taps
+
+
+def get_path(tree: Any, path: Tuple):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def set_path(tree: Any, path: Tuple, value: Any) -> Any:
+    """Functionally replace the leaf at ``path`` (dict pytrees)."""
+    if not path:
+        return value
+    node = dict(tree)
+    node[path[0]] = set_path(tree[path[0]], path[1:], value)
+    return node

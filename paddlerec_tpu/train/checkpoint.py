@@ -23,13 +23,18 @@ def _ckpt_dir(root: str, tag) -> str:
     return os.path.join(os.path.abspath(root), str(tag))
 
 
-def save_model(params: Any, opt_state: Any, root: str, tag) -> str:
-    """Save params+opt under root/tag and update the donefile."""
+def save_model(params: Any, opt_state: Any, root: str, tag,
+               extra: Any = None) -> str:
+    """Save params+opt (+ sparse-update side state) under root/tag and
+    update the donefile."""
     path = _ckpt_dir(root, tag)
     ckpt = ocp.StandardCheckpointer()
+    state = {"params": params, "opt_state": opt_state}
+    if extra is not None:
+        state["extra"] = extra
     ckpt.save(
         os.path.join(path, "state"),
-        {"params": params, "opt_state": opt_state},
+        state,
         force=True,
     )
     ckpt.wait_until_finished()
@@ -51,6 +56,10 @@ def load_model(root: str, tag, abstract_state: Optional[Any] = None) -> Tuple[An
         restored = ckpt.restore(path, abstract_state)
     else:
         restored = ckpt.restore(path)
+    if "extra" in restored and (
+        abstract_state is None or "extra" in abstract_state
+    ):
+        return restored["params"], restored["opt_state"], restored["extra"]
     return restored["params"], restored["opt_state"]
 
 

@@ -16,14 +16,19 @@ class TrainState:
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # side state owned by non-optax update rules (e.g. row-wise Adam
+    # moments for sparse embedding updates); None when unused
+    extra: Any = None
 
     @classmethod
-    def create(cls, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, params: Any, tx: optax.GradientTransformation,
+               extra: Any = None) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             tx=tx,
+            extra=extra,
         )
 
     def apply_gradients(self, grads: Any) -> "TrainState":

@@ -97,11 +97,15 @@ class Trainer:
         # table names), so the same rule row-shards them; scalars replicate.
         opt_shardings = param_shardings(jax.eval_shape(tx.init, params), self.mesh)
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+        extra = None
+        if hasattr(self.model_def, "init_sparse_state"):
+            extra = self.model_def.init_sparse_state(params)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
             params=params,
             opt_state=opt_state,
             tx=tx,
+            extra=extra,
         )
         return self.state
 
@@ -133,15 +137,21 @@ class Trainer:
             )
             return
 
-        abstract = jax.tree.map(
-            as_abstract,
-            {"params": self.state.params, "opt_state": self.state.opt_state},
-        )
-        params, opt_state = ckpt_lib.load_model(root, tag, abstract)
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state}
+        if self.state.extra is not None:
+            target["extra"] = self.state.extra
+        abstract = jax.tree.map(as_abstract, target)
+        restored = ckpt_lib.load_model(root, tag, abstract)
+        params, opt_state = restored[0], restored[1]
         self.state = self.state.replace(
             params=jax.tree.map(put_like, params, self.state.params),
             opt_state=jax.tree.map(put_like, opt_state, self.state.opt_state),
         )
+        if len(restored) > 2:
+            self.state = self.state.replace(
+                extra=jax.tree.map(put_like, restored[2], self.state.extra)
+            )
 
     # -- jitted steps -----------------------------------------------------------
     def _update_metrics(self, metric_state, aux):
@@ -166,6 +176,13 @@ class Trainer:
                 state.params
             )
             state = state.apply_gradients(grads)
+            if state.extra is not None:
+                # row-wise sparse embedding update (the tapped tables are
+                # frozen for the dense optimizer above)
+                new_params, new_extra = model_def.apply_sparse_updates(
+                    state.params, state.extra, grads, batch
+                )
+                state = state.replace(params=new_params, extra=new_extra)
             if use_auc:
                 metric_state = self._update_metrics(metric_state, aux)
             return state, metric_state, loss
@@ -220,6 +237,10 @@ class Trainer:
         )
 
     def _device_batches(self, dataset) -> Iterable:
+        if hasattr(self.model_def, "augment_batch_host"):
+            md = self.model_def
+            raw = dataset
+            dataset = (md.augment_batch_host(b) for b in raw)
         if jax.process_count() > 1:
             # each process reads its own file shard; its host-local batch
             # becomes that host's slice of the global dp-sharded array
@@ -372,6 +393,10 @@ class Trainer:
                     jax.device_get(self.state.opt_state),
                     save_path,
                     epoch,
+                    extra=(
+                        jax.device_get(self.state.extra)
+                        if self.state.extra is not None else None
+                    ),
                 )
                 logger.info(f"saved checkpoint to {path}")
             last_metrics["epoch_time"] = epoch_time
