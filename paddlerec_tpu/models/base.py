@@ -159,7 +159,12 @@ class ModelDef:
         from paddlerec_tpu.ops.sparse_update import host_dedup
 
         vocab = int(self.config.hyper("sparse_feature_number", 1000001))
-        dim = int(self.config.hyper("sparse_feature_dim", 9))
+        # models whose fused table is wider than sparse_feature_dim
+        # (e.g. deepfm's E+1 lanes) set sparse_embed_logical_dim
+        dim = int(getattr(
+            self, "sparse_embed_logical_dim",
+            int(self.config.hyper("sparse_feature_dim", 9)),
+        ))
         pack = 128 // sub_width(dim)
         uniq, slot = host_dedup(self.sparse_update_ids(batch), vocab, pack)
         return dict(batch, sparse_uniq=uniq, sparse_slot=slot)
@@ -181,9 +186,10 @@ class ModelDef:
         taps = find_sparse_taps(params)
         lr = float(self.config.hyper("optimizer.learning_rate", 0.001))
         vocab = int(self.config.hyper("sparse_feature_number", 1000001))
-        default_pack = 128 // sub_width(
-            int(self.config.hyper("sparse_feature_dim", 9))
-        )
+        default_pack = 128 // sub_width(int(getattr(
+            self, "sparse_embed_logical_dim",
+            int(self.config.hyper("sparse_feature_dim", 9)),
+        )))
         ids = self.sparse_update_ids(batch)
         new_extra = dict(extra)
         for dpath, tpath in taps.items():
@@ -346,6 +352,23 @@ class CTRModelDef(ModelDef):
         self.vocab_size = int(config.hyper("sparse_feature_number", 1000001))
         self.embedding_dim = int(config.hyper("sparse_feature_dim", 9))
         self.dense_dim = int(config.hyper("dense_input_dim", 13))
+
+    def sparse_embed_kwargs(self) -> Dict[str, Any]:
+        """SlotEmbedding kwargs for the sparse_update mode (pass into the
+        module's main fused table).  The delta must fit the LARGEST
+        batch the module will see — infer batches are routinely bigger
+        than train batches."""
+        if not self.sparse_update_enabled():
+            return {}
+        cfg = self.config
+        max_bs = max(int(cfg.runner("train_batch_size", 512)),
+                     int(cfg.runner("infer_batch_size", 512)))
+        return {
+            "external_update": True,
+            "delta_capacity": int(cfg.hyper(
+                "sparse_update_capacity", self.num_sparse * max_bs
+            )),
+        }
 
     def model_inputs(self, batch: Batch) -> Tuple[jnp.ndarray, ...]:
         if self.dense_dim:

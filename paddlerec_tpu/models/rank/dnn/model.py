@@ -44,15 +44,9 @@ class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
         fc_sizes = config.hyper("fc_sizes", [512, 256, 128, 32])
-        sparse_update = bool(config.hyper("sparse_update", False))
-        # the delta must fit the LARGEST batch the module will see —
-        # infer batches are routinely bigger than train batches
-        max_bs = max(int(config.runner("train_batch_size", 512)),
-                     int(config.runner("infer_batch_size", 512)))
-        capacity = int(config.hyper(
-            "sparse_update_capacity", self.num_sparse * max_bs,
-        )) if sparse_update else 0
+        kw = self.sparse_embed_kwargs()
         self.module = CtrDnnNet(
             self.vocab_size, self.embedding_dim, fc_sizes,
-            external_update=sparse_update, delta_capacity=capacity,
+            external_update=kw.get("external_update", False),
+            delta_capacity=kw.get("delta_capacity", 0),
         )

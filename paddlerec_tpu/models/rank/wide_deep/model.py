@@ -23,11 +23,15 @@ class WideDeepNet(nn.Module):
     vocab_size: int
     embedding_dim: int
     fc_sizes: Sequence[int]
+    external_update: bool = False
+    delta_capacity: int = 0
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
         fused = SlotEmbedding(
-            self.vocab_size, self.embedding_dim + 1, name="embedding"
+            self.vocab_size, self.embedding_dim + 1, name="embedding",
+            external_update=self.external_update,
+            delta_capacity=self.delta_capacity,
         )(sparse_ids)
         emb = fused[..., : self.embedding_dim]  # (B, S, E)
         wide = fused[..., self.embedding_dim].sum(axis=1)
@@ -48,4 +52,10 @@ class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
         fc_sizes = config.hyper("fc_sizes", [512, 256, 128, 32])
-        self.module = WideDeepNet(self.vocab_size, self.embedding_dim, fc_sizes)
+        self.sparse_embed_logical_dim = self.embedding_dim + 1  # fused w1 lane
+        kw = self.sparse_embed_kwargs()
+        self.module = WideDeepNet(
+            self.vocab_size, self.embedding_dim, fc_sizes,
+            external_update=kw.get("external_update", False),
+            delta_capacity=kw.get("delta_capacity", 0),
+        )

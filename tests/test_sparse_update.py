@@ -267,3 +267,43 @@ def test_compact_update_matches_scratch_update():
     )
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(t1.count), np.asarray(t2.count))
+
+
+def test_deepfm_wide_deep_sparse_wiring():
+    """deepfm/wide_deep expose the same sparse_update switch as dnn."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.core.registry import get_model_class
+    from paddlerec_tpu.ops.sparse_update import find_sparse_taps
+
+    for name in ("rank.deepfm", "rank.wide_deep"):
+        md = get_model_class(name)(Config({
+            "runner.model": name,
+            "runner.train_batch_size": 8,
+            "runner.infer_batch_size": 8,
+            "hyper_parameters.sparse_inputs_slots": 5,
+            "hyper_parameters.dense_input_dim": 4,
+            "hyper_parameters.sparse_feature_number": 300,
+            "hyper_parameters.sparse_feature_dim": 8,
+            "hyper_parameters.fc_sizes": [16],
+            "hyper_parameters.sparse_update": True,
+        }))
+        batch = jax.tree.map(jnp.asarray, md.example_batch(8))
+        params = md.init_with_batch(jax.random.PRNGKey(0), batch)
+        taps = find_sparse_taps(params)
+        assert len(taps) == 1, (name, taps)
+        extra = md.init_sparse_state(params)
+        (_, _), g = jax.value_and_grad(
+            lambda p: md.train_forward(p, batch), has_aux=True
+        )(params)
+        batch = md.augment_batch_host(batch)
+        new_params, new_extra = md.apply_sparse_updates(
+            params, extra, g, batch
+        )
+        # the table moved, under either rule
+        (dpath, tpath), = taps.items()
+        from paddlerec_tpu.ops.sparse_update import get_path
+
+        assert not np.allclose(
+            np.asarray(get_path(new_params, tpath)),
+            np.asarray(get_path(params, tpath)),
+        )
