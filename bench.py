@@ -35,6 +35,9 @@ def main():
             "hyper_parameters.sparse_feature_dim": 9,
             "hyper_parameters.dense_input_dim": 13,
             "hyper_parameters.fc_sizes": [512, 256, 128, 32],
+            # bf16 table: half the HBM traffic, AUC parity verified to
+            # <0.002 on planted-signal data (tests/test_sparse_update.py)
+            "hyper_parameters.sparse_feature_dtype": "bfloat16",
         }
     )
     model_def = get_model_class("rank.deepfm")(cfg)

@@ -32,6 +32,7 @@ class DeepFMNet(nn.Module):
     use_dense_in_fm: bool = True
     external_update: bool = False
     delta_capacity: int = 0
+    table_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
@@ -39,6 +40,7 @@ class DeepFMNet(nn.Module):
             self.vocab_size, self.embedding_dim + 1, name="embedding",
             external_update=self.external_update,
             delta_capacity=self.delta_capacity,
+            param_dtype=self.table_dtype,
         )(sparse_ids)  # (B, S, E+1): lanes [0:E] = emb, lane E = w1
         emb = fused[..., : self.embedding_dim]
         # first order: per-id scalar weight (init scale matched via 1e-2
@@ -71,4 +73,5 @@ class ModelDef(CTRModelDef):
             self.vocab_size, self.embedding_dim, fc_sizes,
             external_update=kw.get("external_update", False),
             delta_capacity=kw.get("delta_capacity", 0),
+            table_dtype=self.table_dtype(),
         )

@@ -24,6 +24,7 @@ class CtrDnnNet(nn.Module):
     fc_sizes: Sequence[int]
     external_update: bool = False
     delta_capacity: int = 0
+    table_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
@@ -31,6 +32,7 @@ class CtrDnnNet(nn.Module):
             self.vocab_size, self.embedding_dim, name="embedding",
             external_update=self.external_update,
             delta_capacity=self.delta_capacity,
+            param_dtype=self.table_dtype,
         )(sparse_ids)  # (B, S, E)
         b = emb.shape[0]
         feat = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
@@ -49,4 +51,5 @@ class ModelDef(CTRModelDef):
             self.vocab_size, self.embedding_dim, fc_sizes,
             external_update=kw.get("external_update", False),
             delta_capacity=kw.get("delta_capacity", 0),
+            table_dtype=self.table_dtype(),
         )

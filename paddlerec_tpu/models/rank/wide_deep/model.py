@@ -25,6 +25,7 @@ class WideDeepNet(nn.Module):
     fc_sizes: Sequence[int]
     external_update: bool = False
     delta_capacity: int = 0
+    table_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
@@ -32,6 +33,7 @@ class WideDeepNet(nn.Module):
             self.vocab_size, self.embedding_dim + 1, name="embedding",
             external_update=self.external_update,
             delta_capacity=self.delta_capacity,
+            param_dtype=self.table_dtype,
         )(sparse_ids)
         emb = fused[..., : self.embedding_dim]  # (B, S, E)
         wide = fused[..., self.embedding_dim].sum(axis=1)
@@ -58,4 +60,5 @@ class ModelDef(CTRModelDef):
             self.vocab_size, self.embedding_dim, fc_sizes,
             external_update=kw.get("external_update", False),
             delta_capacity=kw.get("delta_capacity", 0),
+            table_dtype=self.table_dtype(),
         )

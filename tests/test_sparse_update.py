@@ -307,3 +307,35 @@ def test_deepfm_wide_deep_sparse_wiring():
             np.asarray(get_path(new_params, tpath)),
             np.asarray(get_path(params, tpath)),
         )
+
+
+def test_bf16_table_learns(tmp_path):
+    """sparse_feature_dtype: bfloat16 — half the table traffic at AUC
+    parity (the headline bench runs this configuration)."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+    from paddlerec_tpu.train.trainer import Trainer
+
+    data = str(tmp_path / "train")
+    write_criteo_sample(data, num_lines=2000, num_files=1, vocab=3000)
+    cfg = Config({
+        "runner.model": "rank.deepfm",
+        "runner.train_data_dir": data,
+        "runner.test_data_dir": data,
+        "runner.train_batch_size": 256,
+        "runner.epochs": 3,
+        "runner.print_interval": 1000,
+        "hyper_parameters.sparse_inputs_slots": 27,
+        "hyper_parameters.dense_input_dim": 13,
+        "hyper_parameters.sparse_feature_number": 3000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.fc_sizes": [32, 16],
+        "hyper_parameters.sparse_feature_dtype": "bfloat16",
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 0.005,
+    })
+    trainer = Trainer(cfg)
+    metrics = trainer.train()
+    assert metrics["auc"] > 0.9, metrics
+    table = trainer.state.params["embedding"]["embedding"]
+    assert table.dtype == jnp.bfloat16
