@@ -185,6 +185,13 @@ class ModelDef:
         adagrad = self._sparse_update_rule() == "adagrad"
         taps = find_sparse_taps(params)
         lr = float(self.config.hyper("optimizer.learning_rate", 0.001))
+        # mirror clip_by_norm onto the tapped grads — the dense optimizer
+        # clips only its own (non-frozen) leaves
+        clip = self.config.hyper("clip_by_norm")
+        scale = None
+        if clip:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, float(clip) / jnp.maximum(gnorm, 1e-12))
         vocab = int(self.config.hyper("sparse_feature_number", 1000001))
         default_pack = 128 // sub_width(int(getattr(
             self, "sparse_embed_logical_dim",
@@ -196,13 +203,16 @@ class ModelDef:
             table = get_path(params, tpath)
             pack = infer_pack(vocab, table.shape[0])
             key = "/".join(dpath)
+            dgrad = get_path(grads, dpath)
+            if scale is not None:
+                dgrad = dgrad * scale
             if "sparse_uniq" in batch and pack == default_pack:
                 # host-deduped fast path: O(batch) scratch, unique
                 # scatter indices — required for vocab >= ~10^8
                 apply_fn = (apply_sparse_adagrad_compact if adagrad
                             else apply_sparse_adam_compact)
                 new_table, st = apply_fn(
-                    table, extra[key], get_path(grads, dpath),
+                    table, extra[key], dgrad,
                     batch["sparse_uniq"], batch["sparse_slot"], lr,
                 )
             else:
@@ -210,7 +220,7 @@ class ModelDef:
                             else apply_sparse_update)
                 phys = ((ids % vocab).reshape(-1) // pack).astype(jnp.int32)
                 new_table, st = apply_fn(
-                    table, extra[key], get_path(grads, dpath), phys, lr
+                    table, extra[key], dgrad, phys, lr
                 )
             params = set_path(params, tpath, new_table)
             new_extra[key] = st

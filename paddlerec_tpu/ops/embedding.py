@@ -62,7 +62,7 @@ class SlotEmbedding(nn.Module):
     # stop_gradient and a zero "embedding_delta" param taps per-position
     # row grads, so the optimizer can update ONLY touched rows
     # (ops/sparse_update.py).  delta_capacity bounds positions per batch
-    # (0 = size to the first batch seen).
+    # and MUST be set explicitly (ModelDef.sparse_embed_kwargs does).
     external_update: bool = False
     delta_capacity: int = 0
 
@@ -87,15 +87,25 @@ class SlotEmbedding(nn.Module):
         w = sub_width(self.embedding_dim)
         pack = 128 // w
         n = int(np_prod(ids.shape))
-        cap = self.delta_capacity or n
+        cap = self.delta_capacity
+        if cap <= 0:
+            raise ValueError(
+                "external_update requires an explicit delta_capacity "
+                "(params are initialized from a tiny example batch, so "
+                "sizing from the first batch cannot work; "
+                "ModelDef.sparse_embed_kwargs computes the right value)"
+            )
         if n > cap:
             raise ValueError(
                 f"batch has {n} lookup positions > delta_capacity {cap}; "
                 "raise hyper_parameters.sparse_update_capacity"
             )
+        # delta (and therefore the tapped grads) stays float32 even for
+        # bf16 tables — bf16 per-position grads would truncate before
+        # the row-sum
         delta = self.param(
             "embedding_delta", nn.initializers.zeros, (cap, 128),
-            self.param_dtype,
+            jnp.float32,
         )
         phys = (ids // pack).astype(jnp.int32)
         sub = (ids % pack).astype(jnp.int32)
@@ -122,6 +132,17 @@ class SlotEmbedding(nn.Module):
         if self.hash_ids:
             ids = ids % self.vocab_size
         ids = ids.astype(jnp.int32)
+        if self.external_update and self._use_distributed():
+            raise NotImplementedError(
+                "sparse_update (external_update) is a single-host path; "
+                "with model-parallel tables use the all_to_all engine "
+                "without sparse_update (v1 limitation)"
+            )
+        if self.external_update and not self.hash_ids:
+            raise ValueError(
+                "external_update requires hash_ids=True: the optimizer-"
+                "side row mapping mirrors the ids %% vocab hash"
+            )
         if self._use_distributed():
             from paddlerec_tpu.parallel import context
             from paddlerec_tpu.parallel.embedding import get_engine

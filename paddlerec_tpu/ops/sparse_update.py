@@ -59,9 +59,12 @@ class RowwiseAdamState(NamedTuple):
 
 
 def rowwise_adam_init(table: jnp.ndarray) -> RowwiseAdamState:
+    # moments stay float32 even for bf16 tables — bf16 moments round
+    # small-gradient contributions to zero (same invariant as the dense
+    # optimizer's mu_dtype=float32)
     return RowwiseAdamState(
-        m=jnp.zeros_like(table),
-        v=jnp.zeros_like(table),
+        m=jnp.zeros(table.shape, jnp.float32),
+        v=jnp.zeros(table.shape, jnp.float32),
         count=jnp.zeros((table.shape[0],), jnp.int32),
     )
 
@@ -115,7 +118,7 @@ class RowwiseAdagradState(NamedTuple):
 
 def rowwise_adagrad_init(table: jnp.ndarray) -> RowwiseAdagradState:
     return RowwiseAdagradState(
-        acc=jnp.zeros((table.shape[0],), table.dtype)
+        acc=jnp.zeros((table.shape[0],), jnp.float32)  # never bf16
     )
 
 
@@ -136,14 +139,15 @@ def apply_sparse_adagrad(
     apply_sparse_update)."""
     n = phys.shape[0]
     phys = phys.astype(jnp.int32)
-    g_dense = jnp.zeros_like(table).at[phys].add(
-        delta_grad[:n].astype(table.dtype), mode="drop"
+    g_dense = jnp.zeros(table.shape, jnp.float32).at[phys].add(
+        delta_grad[:n].astype(jnp.float32), mode="drop"
     )
     g_r = g_dense[phys]
     a_r = state.acc[phys] + (g_r * g_r).mean(-1)
-    t_n = table[phys] - lr * g_r * jax.lax.rsqrt(a_r + eps)[:, None]
+    t_n = (table[phys].astype(jnp.float32)
+           - lr * g_r * jax.lax.rsqrt(a_r + eps)[:, None])
     return (
-        table.at[phys].set(t_n, mode="drop"),
+        table.at[phys].set(t_n.astype(table.dtype), mode="drop"),
         RowwiseAdagradState(acc=state.acc.at[phys].set(a_r, mode="drop")),
     )
 
@@ -164,8 +168,8 @@ def host_dedup(ids, vocab: int, pack: int):
 
 def _compact_grad(table, delta_grad, uniq, slot):
     n = slot.shape[0]
-    g_uniq = jnp.zeros((uniq.shape[0], 128), table.dtype).at[slot].add(
-        delta_grad[:n].astype(table.dtype)
+    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
+        delta_grad[:n].astype(jnp.float32)
     )
     safe = jnp.minimum(uniq, table.shape[0] - 1)
     return g_uniq, safe
@@ -185,13 +189,13 @@ def apply_sparse_adagrad_compact(
     on one chip (dense Adam's 3× table footprint OOMs there)."""
     g_uniq, safe = _compact_grad(table, delta_grad, uniq, slot)
     a_r = state.acc[safe] + (g_uniq * g_uniq).mean(-1)
-    t_n = table[safe] - lr * g_uniq * jax.lax.rsqrt(a_r + eps)[:, None]
+    t_n = (table[safe].astype(jnp.float32)
+           - lr * g_uniq * jax.lax.rsqrt(a_r + eps)[:, None])
+    # NOTE: no unique_indices hint — the padding repeats SENTINEL, which
+    # would break the all-distinct promise (UB); drop-mode handles it
     return (
-        table.at[uniq].set(t_n, mode="drop", unique_indices=True),
-        RowwiseAdagradState(
-            acc=state.acc.at[uniq].set(a_r, mode="drop",
-                                       unique_indices=True)
-        ),
+        table.at[uniq].set(t_n.astype(table.dtype), mode="drop"),
+        RowwiseAdagradState(acc=state.acc.at[uniq].set(a_r, mode="drop")),
     )
 
 
@@ -211,13 +215,13 @@ def apply_sparse_adam_compact(
     m_n = b1 * state.m[safe] + (1.0 - b1) * g_uniq
     v_n = b2 * state.v[safe] + (1.0 - b2) * g_uniq * g_uniq
     c_r = state.count[safe] + 1
-    c_f = c_r.astype(table.dtype)[:, None]
-    t_n = table[safe] - lr * (m_n / (1.0 - b1**c_f)) / (
-        jnp.sqrt(v_n / (1.0 - b2**c_f)) + eps
-    )
-    kw = dict(mode="drop", unique_indices=True)
+    c_f = c_r.astype(jnp.float32)[:, None]
+    t_n = table[safe].astype(jnp.float32) - lr * (
+        m_n / (1.0 - b1**c_f)
+    ) / (jnp.sqrt(v_n / (1.0 - b2**c_f)) + eps)
+    kw = dict(mode="drop")  # no unique hint: SENTINEL padding repeats
     return (
-        table.at[uniq].set(t_n, **kw),
+        table.at[uniq].set(t_n.astype(table.dtype), **kw),
         RowwiseAdamState(
             m=state.m.at[uniq].set(m_n, **kw),
             v=state.v.at[uniq].set(v_n, **kw),
@@ -253,22 +257,22 @@ def apply_sparse_update(
     phys: (N,) physical row per lookup position, N <= C."""
     n = phys.shape[0]
     phys = phys.astype(jnp.int32)
-    g_dense = jnp.zeros_like(table).at[phys].add(
-        delta_grad[:n].astype(table.dtype), mode="drop"
+    g_dense = jnp.zeros(table.shape, jnp.float32).at[phys].add(
+        delta_grad[:n].astype(jnp.float32), mode="drop"
     )
     g_r = g_dense[phys]
-    t_r = table[phys]
+    t_r = table[phys].astype(jnp.float32)
     m_r = state.m[phys]
     v_r = state.v[phys]
     c_r = state.count[phys] + 1
     m_n = b1 * m_r + (1.0 - b1) * g_r
     v_n = b2 * v_r + (1.0 - b2) * g_r * g_r
-    c_f = c_r.astype(table.dtype)[:, None]
+    c_f = c_r.astype(jnp.float32)[:, None]
     m_hat = m_n / (1.0 - b1**c_f)
     v_hat = v_n / (1.0 - b2**c_f)
     t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
     return (
-        table.at[phys].set(t_n, mode="drop"),
+        table.at[phys].set(t_n.astype(table.dtype), mode="drop"),
         RowwiseAdamState(
             m=state.m.at[phys].set(m_n, mode="drop"),
             v=state.v.at[phys].set(v_n, mode="drop"),

@@ -64,10 +64,32 @@ class HostTieredTable:
     def _materialize(self, ids: np.ndarray) -> None:
         fresh = ids[~self._initialized[ids]]
         if len(fresh):
-            for i in fresh:  # per-row seeded init = deterministic across runs
-                rng = np.random.RandomState((self.seed * 1_000_003 + i)
-                                            % (2**31 - 1))
-                self._table[i] = rng.randn(self.dim) * self.init_scale
+            # vectorized counter-based init (deterministic per (seed, id)):
+            # splitmix64 of (seed, id, column) → uniform → Box-Muller.
+            # A per-row RandomState loop costs minutes at 10^7 fresh rows.
+            def _splitmix64(x: np.ndarray) -> np.ndarray:
+                x = (x + np.uint64(0x9E3779B97F4A7C15))
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(
+                    0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(
+                    0x94D049BB133111EB)
+                return x ^ (x >> np.uint64(31))
+
+            with np.errstate(over="ignore"):
+                base = (np.uint64(self.seed) * np.uint64(1_000_003)
+                        + fresh.astype(np.uint64))[:, None]
+                cols = np.arange(2 * ((self.dim + 1) // 2),
+                                 dtype=np.uint64)[None, :]
+                bits = _splitmix64(base * np.uint64(2**32 + 1) + cols)
+            u = (bits >> np.uint64(11)).astype(np.float64) / float(2**53)
+            u = np.clip(u, 1e-12, 1.0 - 1e-12)
+            u1, u2 = u[:, 0::2], u[:, 1::2]
+            z = np.concatenate(
+                [np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2),
+                 np.sqrt(-2 * np.log(u1)) * np.sin(2 * np.pi * u2)],
+                axis=1,
+            )[:, : self.dim]
+            self._table[fresh] = (z * self.init_scale).astype(np.float32)
             self._initialized[fresh] = True
 
     @property
@@ -100,6 +122,11 @@ class HostTieredTable:
         if self._pass_ids is None:
             raise RuntimeError("translate() before begin_pass()")
         ids = np.asarray(ids, np.int64)
+        if len(self._pass_ids) == 0:
+            raise KeyError(
+                f"ids not in the current pass (the pass is empty; first "
+                f"few requested: {ids.reshape(-1)[:5].tolist()})"
+            )
         slots = np.searchsorted(self._pass_ids, ids.reshape(-1))
         slots = np.clip(slots, 0, max(len(self._pass_ids) - 1, 0))
         if not np.array_equal(self._pass_ids[slots], ids.reshape(-1)):

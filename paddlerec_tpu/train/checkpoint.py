@@ -43,8 +43,10 @@ def save_model(params: Any, opt_state: Any, root: str, tag,
     return path
 
 
-def load_model(root: str, tag, abstract_state: Optional[Any] = None) -> Tuple[Any, Any]:
-    """Load (params, opt_state) from root/tag.
+def load_model(root: str, tag, abstract_state: Optional[Any] = None
+               ) -> Tuple[Any, Any, Any]:
+    """Load (params, opt_state, extra) from root/tag; ``extra`` is None
+    for checkpoints saved without sparse-update side state.
 
     abstract_state: optional {"params":..., "opt_state":...} pytree of
     jax.ShapeDtypeStruct (with shardings) — restores the original pytree
@@ -56,11 +58,8 @@ def load_model(root: str, tag, abstract_state: Optional[Any] = None) -> Tuple[An
         restored = ckpt.restore(path, abstract_state)
     else:
         restored = ckpt.restore(path)
-    if "extra" in restored and (
-        abstract_state is None or "extra" in abstract_state
-    ):
-        return restored["params"], restored["opt_state"], restored["extra"]
-    return restored["params"], restored["opt_state"]
+    return (restored["params"], restored["opt_state"],
+            restored.get("extra"))
 
 
 def last_saved_tag(root: str) -> Optional[str]:

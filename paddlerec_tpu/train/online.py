@@ -312,6 +312,8 @@ class OnlineTrainer(Trainer):
                         jax.device_get(self.state.params),
                         jax.device_get(self.state.opt_state),
                         save_root, tag,
+                        extra=(jax.device_get(self.state.extra)
+                               if self.state.extra is not None else None),
                     )
                     self.write_done(day, pass_id, path, "checkpoint")
                 if (pass_id + 1) % self.save_delta_frequency == 0:

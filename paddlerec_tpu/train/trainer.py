@@ -142,15 +142,27 @@ class Trainer:
         if self.state.extra is not None:
             target["extra"] = self.state.extra
         abstract = jax.tree.map(as_abstract, target)
-        restored = ckpt_lib.load_model(root, tag, abstract)
-        params, opt_state = restored[0], restored[1]
+        try:
+            params, opt_state, extra = ckpt_lib.load_model(root, tag, abstract)
+        except Exception:
+            if "extra" not in target:
+                raise
+            # checkpoint predates sparse_update (no side state on disk):
+            # restore params+opt and keep freshly-initialized moments
+            logger.warning(
+                "checkpoint has no sparse-update side state; row-wise "
+                "optimizer moments start fresh"
+            )
+            del target["extra"]
+            abstract = jax.tree.map(as_abstract, target)
+            params, opt_state, extra = ckpt_lib.load_model(root, tag, abstract)
         self.state = self.state.replace(
             params=jax.tree.map(put_like, params, self.state.params),
             opt_state=jax.tree.map(put_like, opt_state, self.state.opt_state),
         )
-        if len(restored) > 2:
+        if extra is not None and self.state.extra is not None:
             self.state = self.state.replace(
-                extra=jax.tree.map(put_like, restored[2], self.state.extra)
+                extra=jax.tree.map(put_like, extra, self.state.extra)
             )
 
     # -- jitted steps -----------------------------------------------------------

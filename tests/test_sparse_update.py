@@ -72,7 +72,7 @@ def test_external_lookup_matches_packed_and_taps_grads():
 
     dense_mod = SlotEmbedding(vocab, dim, init_stddev=0.1)
     ext_mod = SlotEmbedding(vocab, dim, init_stddev=0.1,
-                            external_update=True)
+                            external_update=True, delta_capacity=32)
     dvars = dense_mod.init(jax.random.PRNGKey(1), ids)
     evars = ext_mod.init(jax.random.PRNGKey(1), ids)
     # same table init (same rng path), same forward values
