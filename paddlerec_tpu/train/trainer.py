@@ -251,6 +251,15 @@ class Trainer:
     def _device_batches(self, dataset) -> Iterable:
         if hasattr(self.model_def, "augment_batch_host"):
             md = self.model_def
+            if (jax.process_count() > 1
+                    and getattr(md, "sparse_update_enabled", bool)()):
+                # per-host dedup arrays would be dp-sharded while the
+                # row update expects the GLOBAL batch's rows — not
+                # supported yet; fail loudly instead of corrupting
+                raise NotImplementedError(
+                    "sparse_update is single-process for now (per-host "
+                    "dedup does not compose with multi-host dp batches)"
+                )
             raw = dataset
             dataset = (md.augment_batch_host(b) for b in raw)
         if jax.process_count() > 1:
