@@ -31,16 +31,31 @@ MetricState = Dict[str, jnp.ndarray]
 
 
 def init_auc_state(num_buckets: int = NUM_BUCKETS) -> MetricState:
+    # counts are int32 (exact to 2^31; float32 counters silently stop
+    # incrementing at 2^24 — one epoch of full Criteo overflows them);
+    # the float sums carry Kahan compensation terms ("*_c") so epoch-
+    # scale accumulation keeps ~float64 accuracy on TPU without x64.
     return {
-        "stat_pos": jnp.zeros((num_buckets,), jnp.float32),
-        "stat_neg": jnp.zeros((num_buckets,), jnp.float32),
+        "stat_pos": jnp.zeros((num_buckets,), jnp.int32),
+        "stat_neg": jnp.zeros((num_buckets,), jnp.int32),
         "sqrerr": jnp.zeros((), jnp.float32),
+        "sqrerr_c": jnp.zeros((), jnp.float32),
         "abserr": jnp.zeros((), jnp.float32),
+        "abserr_c": jnp.zeros((), jnp.float32),
         "prob": jnp.zeros((), jnp.float32),
+        "prob_c": jnp.zeros((), jnp.float32),
         "q": jnp.zeros((), jnp.float32),
-        "pos_ins": jnp.zeros((), jnp.float32),
-        "total_ins": jnp.zeros((), jnp.float32),
+        "q_c": jnp.zeros((), jnp.float32),
+        "pos_ins": jnp.zeros((), jnp.int32),
+        "total_ins": jnp.zeros((), jnp.int32),
     }
+
+
+def _kahan_add(total, comp, x):
+    """Compensated add: returns (new_total, new_comp)."""
+    y = x - comp
+    t = total + y
+    return t, (t - total) - y
 
 
 def update_auc_state(
@@ -67,20 +82,37 @@ def update_auc_state(
     )
     pos_w = labels * mask
     neg_w = (1.0 - labels) * mask
-    stat_pos = state["stat_pos"].at[bucket].add(pos_w)
-    stat_neg = state["stat_neg"].at[bucket].add(neg_w)
+    pos_i = jnp.round(pos_w).astype(jnp.int32)
+    neg_i = jnp.round(neg_w).astype(jnp.int32)
+    stat_pos = state["stat_pos"].at[bucket].add(pos_i)
+    stat_neg = state["stat_neg"].at[bucket].add(neg_i)
 
     err = preds - labels
     q = jnp.where(labels > 0.5, preds, 1.0 - preds)  # per-ins q value
+    sqrerr, sqrerr_c = _kahan_add(
+        state["sqrerr"], state["sqrerr_c"], jnp.sum(err * err * mask)
+    )
+    abserr, abserr_c = _kahan_add(
+        state["abserr"], state["abserr_c"], jnp.sum(jnp.abs(err) * mask)
+    )
+    prob, prob_c = _kahan_add(
+        state["prob"], state["prob_c"], jnp.sum(preds * mask)
+    )
+    qs, q_c = _kahan_add(state["q"], state["q_c"], jnp.sum(q * mask))
     return {
         "stat_pos": stat_pos,
         "stat_neg": stat_neg,
-        "sqrerr": state["sqrerr"] + jnp.sum(err * err * mask),
-        "abserr": state["abserr"] + jnp.sum(jnp.abs(err) * mask),
-        "prob": state["prob"] + jnp.sum(preds * mask),
-        "q": state["q"] + jnp.sum(q * mask),
-        "pos_ins": state["pos_ins"] + jnp.sum(pos_w),
-        "total_ins": state["total_ins"] + jnp.sum(mask),
+        "sqrerr": sqrerr,
+        "sqrerr_c": sqrerr_c,
+        "abserr": abserr,
+        "abserr_c": abserr_c,
+        "prob": prob,
+        "prob_c": prob_c,
+        "q": qs,
+        "q_c": q_c,
+        "pos_ins": state["pos_ins"] + jnp.sum(pos_i),
+        "total_ins": state["total_ins"] + jnp.sum(jnp.round(mask)
+                                                  .astype(jnp.int32)),
     }
 
 

@@ -80,9 +80,11 @@ def parse_slot_lines(
 
     sparse_index = {name: i for i, name in enumerate(schema.sparse_slots)}
     dense_offsets = {}
+    dense_dims = {}
     off = 0
     for name, dim in zip(schema.dense_slots, schema.dense_dims):
         dense_offsets[name] = off
+        dense_dims[name] = dim
         off += dim
     label_slot = schema.label_slot
 
@@ -103,8 +105,9 @@ def parse_slot_lines(
                     sparse_counts[si] = c + 1
             elif slot in dense_offsets:
                 c = dense_counts[slot]
-                dense[row, dense_offsets[slot] + c] = float(value)
-                dense_counts[slot] = c + 1
+                if c < dense_dims[slot]:  # extra values: drop, like sparse
+                    dense[row, dense_offsets[slot] + c] = float(value)
+                    dense_counts[slot] = c + 1
     out = {"label": labels, "sparse": sparse}
     if dense is not None:
         out["dense"] = dense

@@ -54,6 +54,18 @@ def get_online_pass_interval(
     return passes
 
 
+class _ChainDataset:
+    """Concatenate re-iterable datasets (split_per_pass > 1 spans
+    several data sub-dirs per pass)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+
+    def __iter__(self):
+        for d in self.datasets:
+            yield from d
+
+
 class FeatureStats:
     """Per-row show counters with daily decay — feature lifecycle bookkeeping.
 
@@ -162,6 +174,14 @@ class OnlineTrainer(Trainer):
         flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
         return [(p, leaf) for p, leaf in flat if is_embedding_path(p)]
 
+    def _observing(self, dataset):
+        """Wrap a host-batch iterator: record feature shows BEFORE the
+        batch is device_put (np.asarray on a multi-host global array
+        crashes; on one host it would force a device->host sync)."""
+        for batch in dataset:
+            self._observe_batch(batch)
+            yield batch
+
     def _observe_batch(self, batch) -> None:
         if not self._feature_lifecycle or "sparse" not in batch:
             return
@@ -195,9 +215,13 @@ class OnlineTrainer(Trainer):
         if len(evict_rows) == 0:
             return 0
         rows = jnp.asarray(evict_rows, jnp.int32)
+        n_rows = len(self.stats.show)
 
         def zero_rows(path, leaf):
-            if is_embedding_path(path) and leaf.ndim >= 2:
+            # row ids come from the FIRST table's geometry; only tables
+            # with the same row count can be safely evicted by them
+            if (is_embedding_path(path) and leaf.ndim >= 2
+                    and leaf.shape[0] == n_rows):
                 return leaf.at[rows].set(0.0)
             return leaf
 
@@ -205,10 +229,21 @@ class OnlineTrainer(Trainer):
         opt_state = jax.tree_util.tree_map_with_path(
             lambda p, l: l.at[rows].set(0.0)
             if is_embedding_path(p) and hasattr(l, "ndim") and l.ndim >= 2
+            and l.shape[0] == n_rows
             else l,
             self.state.opt_state,
         )
-        self.state = self.state.replace(params=params, opt_state=opt_state)
+        extra = self.state.extra
+        if extra is not None:
+            # evicted rows must not keep stale row-wise moments
+            extra = jax.tree.map(
+                lambda l: l.at[rows].set(0)
+                if hasattr(l, "shape") and l.ndim >= 1
+                and l.shape[0] == n_rows else l,
+                extra,
+            )
+        self.state = self.state.replace(params=params, opt_state=opt_state,
+                                        extra=extra)
         logger.info(f"shrink: evicted {len(evict_rows)} stale feature rows")
         return len(evict_rows)
 
@@ -226,14 +261,17 @@ class OnlineTrainer(Trainer):
             d += timedelta(days=1)
         return days
 
-    def train_pass(self, pass_dir: str, day: str, pass_id: int) -> Dict[str, float]:
+    def train_pass(self, pass_dir, day: str, pass_id: int) -> Dict[str, float]:
         batch_size = int(self.config.runner("train_batch_size", 32))
         if self._train_step is None:
             self._train_step = self._build_train_step()
         if self._infer_step is None:
             self._infer_step = self._build_infer_step()
 
-        dataset = self.make_dataset(pass_dir, batch_size)
+        dirs = [pass_dir] if isinstance(pass_dir, str) else list(pass_dir)
+        datasets = [self.make_dataset(d, batch_size)
+                    for d in dirs if os.path.isdir(d)]
+        dataset = _ChainDataset(datasets)
 
         # join-time eval BEFORE training on the pass (online AUC)
         if self.infer_before_train and self.use_auc:
@@ -248,8 +286,7 @@ class OnlineTrainer(Trainer):
 
         metric_state = self._init_metric_state()
         n = 0
-        for batch in self._device_batches(dataset):
-            self._observe_batch(batch)
+        for batch in self._device_batches(self._observing(dataset)):
             self.state, metric_state, loss = self._train_step(
                 self.state, batch, metric_state
             )
@@ -284,16 +321,24 @@ class OnlineTrainer(Trainer):
                 self.load_checkpoint(
                     save_root, os.path.basename(ckpts[-1]["path"])
                 )
+            # the skip gate must match what the restored STATE contains:
+            # delta/base records are published artifacts, not resume
+            # points — gating on them would skip passes whose training
+            # is not in the restored checkpoint
+            done = ckpts[-1] if ckpts else None
         last_metrics: Dict[str, float] = {}
         first = True
         for day in self._day_list():
+            trained_this_day = False
             for pass_id, pass_dirs in enumerate(self.pass_intervals):
                 if done and (
                     day < done["day"]
                     or (day == done["day"] and pass_id <= done["pass"])
                 ):
                     continue  # already trained (exactly-once per donefile)
-                pass_dir = os.path.join(data_root, day, pass_dirs[0])
+                # a pass may span several split intervals — train them all
+                dirs = [os.path.join(data_root, day, d) for d in pass_dirs]
+                pass_dir = dirs[0]
                 if not self.wait_for_data(pass_dir):
                     continue  # no data for this pass
                 if first and self.save_first_base:
@@ -304,7 +349,8 @@ class OnlineTrainer(Trainer):
                     self.write_done(day, -1, path, "base")
                 first = False
 
-                last_metrics = self.train_pass(pass_dir, day, pass_id)
+                last_metrics = self.train_pass(dirs, day, pass_id)
+                trained_this_day = True
 
                 if (pass_id + 1) % self.checkpoint_per_pass == 0:
                     tag = f"ckpt_{day}_{pass_id}"
@@ -322,7 +368,10 @@ class OnlineTrainer(Trainer):
                         jax.device_get(self.state.params), save_root, tag
                     )
                     self.write_done(day, pass_id, path, "delta")
-            # end of day: shrink + base model
+            # end of day: shrink + base model — but never republish a
+            # historical day whose passes were all skipped on resume
+            if not trained_this_day:
+                continue
             self.shrink()
             path = ckpt_lib.save_params_only(
                 jax.device_get(self.state.params), save_root, f"base_{day}"

@@ -24,6 +24,7 @@ from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from paddlerec_tpu.core import metrics as metrics_lib
 from paddlerec_tpu.core.config import Config, resolve_path
@@ -217,7 +218,15 @@ class Trainer:
     def make_dataset(self, data_dir: str, batch_size: int, shuffle=False,
                      drop_last: bool = True):
         if hasattr(self.model_def, "make_dataset"):
-            return self.model_def.make_dataset(data_dir, batch_size, shuffle)
+            try:
+                return self.model_def.make_dataset(
+                    data_dir, batch_size, shuffle, drop_last=drop_last
+                )
+            except TypeError:
+                # older model datasets don't take drop_last (their own
+                # tail policy applies)
+                return self.model_def.make_dataset(data_dir, batch_size,
+                                                   shuffle)
         schema = schema_from_config(self.config)
         files = list_data_files(data_dir)
         files = shard_files(files, jax.process_index(), jax.process_count())
@@ -272,7 +281,21 @@ class Trainer:
             from paddlerec_tpu.parallel.sharding import DP_AXIS
 
             spec = P(DP_AXIS)
-            for batch in PrefetchIterator(iter(dataset), depth=4):
+            it = PrefetchIterator(iter(dataset), depth=4)
+            while True:
+                try:
+                    batch = next(it)
+                    has_next = 1
+                except StopIteration:
+                    batch, has_next = None, 0
+                # unanimous continue: per-host file shards can hold
+                # different batch counts; without this sync the shorter
+                # host exits while peers block forever in the collective
+                flags = multihost_utils.process_allgather(
+                    np.asarray([has_next], np.int32)
+                )
+                if int(np.min(flags)) == 0:
+                    return
                 yield multihost_utils.host_local_array_to_global_array(
                     batch, self.mesh, spec
                 )
@@ -338,10 +361,15 @@ class Trainer:
         global_step = 0
 
         last_metrics: Dict[str, float] = {}
+        # ONE dataset object for all epochs: re-iterating bumps its
+        # internal epoch counter, so shuffle_files gets a fresh
+        # permutation each epoch (a per-epoch object would reshuffle
+        # with the same seed every time)
+        dataset = self.make_dataset(
+            data_dir, batch_size,
+            shuffle=bool(cfg.runner("shuffle_files", False)),
+        )
         for epoch in range(start_epoch, epochs):
-            dataset = self.make_dataset(
-                data_dir, batch_size, shuffle=bool(cfg.runner("shuffle_files", False))
-            )
             metric_state = self._init_metric_state()
             epoch_begin = time.time()
             reader_start = time.time()

@@ -71,3 +71,18 @@ def test_schema_from_config(tmp_path):
     assert schema.num_sparse == 26
     assert schema.dense_dim == 13
     assert schema.label_slot == "click"
+
+
+def test_parse_slot_lines_dense_overflow_dropped():
+    """Lines with MORE dense values than the slot's dim must not crash
+    or bleed into neighbouring slots (reference readers truncate)."""
+    from paddlerec_tpu.data.schema import SlotSchema
+    from paddlerec_tpu.data.slot_reader import parse_slot_lines
+
+    schema = SlotSchema.criteo(num_sparse=2, dense_dim=3)
+    good = "click:1 dense_feature:0.1 dense_feature:0.2 dense_feature:0.3 1:7 2:9"
+    extra = ("click:0 dense_feature:0.5 dense_feature:0.5 dense_feature:0.5 "
+             "dense_feature:0.9 dense_feature:0.9 1:3 2:4")
+    out = parse_slot_lines([good, extra], schema)
+    assert out["dense"].shape == (2, 3)
+    assert abs(out["dense"][1].sum() - 1.5) < 1e-6  # extras dropped

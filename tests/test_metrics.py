@@ -122,3 +122,41 @@ def test_ranking_metrics():
     ranks = np.array([1, 3, 20])
     assert np.isclose(M.hit_ratio_at_k(ranks, 10), 2 / 3)
     assert M.ndcg_at_k(np.array([1]), 10) == 1.0
+
+
+def test_counters_exact_past_float32_limit():
+    """Instance counters must keep incrementing past 2^24 (float32
+    counters silently saturate there — one full-Criteo epoch overflows)."""
+    import jax.numpy as jnp
+
+    from paddlerec_tpu.core import metrics as metrics_lib
+
+    state = metrics_lib.init_auc_state()
+    assert state["total_ins"].dtype == jnp.int32
+    state = dict(state, total_ins=jnp.asarray(2**24, jnp.int32),
+                 stat_pos=state["stat_pos"].at[100].set(2**24))
+    preds = jnp.full((64,), 100.5 / state["stat_pos"].shape[0])
+    labels = jnp.ones((64,))
+    state = metrics_lib.update_auc_state(state, preds, labels)
+    assert int(state["total_ins"]) == 2**24 + 64
+    assert int(state["stat_pos"][100]) == 2**24 + 64
+
+
+def test_kahan_sums_stay_accurate():
+    """Scalar metric sums use compensated accumulation: adding many
+    small values to a large total must not round away."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paddlerec_tpu.core import metrics as metrics_lib
+
+    state = metrics_lib.init_auc_state()
+    state = dict(state, prob=jnp.asarray(2.0**24, jnp.float32))
+    # 1000 batches of tiny prob mass: plain f32 would add ~0 of it
+    for _ in range(50):
+        preds = jnp.full((20,), 0.25)
+        state = metrics_lib.update_auc_state(
+            state, preds, jnp.zeros((20,))
+        )
+    gained = float(state["prob"]) + float(state["prob_c"]) - 2.0**24
+    np.testing.assert_allclose(gained, 50 * 20 * 0.25, rtol=1e-3)

@@ -101,3 +101,52 @@ def test_shrink_zeroes_rows(tmp_path):
     assert n > 0
     table = np.asarray(trainer._embedding_entries()[0][1])
     assert np.allclose(table[1], 0)
+
+
+def test_split_per_pass_trains_all_subdirs(tmp_path):
+    """split_per_pass > 1: every interval sub-directory of a pass is
+    trained, not just the first (regression: pass_dirs[0] only)."""
+    import numpy as np
+
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+    from paddlerec_tpu.train.online import OnlineTrainer
+
+    day = "20240101"
+    # two sub-dirs with DISTINCT row counts so coverage is observable
+    write_criteo_sample(str(tmp_path / day / "0000"), num_lines=64,
+                        num_files=1, vocab=1000)
+    write_criteo_sample(str(tmp_path / day / "1200"), num_lines=64,
+                        num_files=1, vocab=1000)
+    cfg = Config({
+        "runner.model": "rank.dnn",
+        "runner.train_data_dir": str(tmp_path),
+        "runner.train_batch_size": 32,
+        "runner.model_save_path": str(tmp_path / "out"),
+        "runner.days": day,
+        "runner.split_interval": 720,   # 2 intervals/day: 00:00, 12:00
+        "runner.split_per_pass": 2,     # ONE pass spans both
+        "runner.checkpoint_per_pass": 1,
+        "runner.start_day": day,
+        "runner.end_day": day,
+        "hyper_parameters.sparse_inputs_slots": 27,
+        "hyper_parameters.dense_input_dim": 13,
+        "hyper_parameters.sparse_feature_number": 1000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.fc_sizes": [16],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 0.001,
+    })
+    trainer = OnlineTrainer(cfg)
+    seen = []
+    orig = trainer.make_dataset
+
+    def spy(data_dir, batch_size, shuffle=False, **kw):
+        seen.append(data_dir)
+        return orig(data_dir, batch_size, shuffle, **kw)
+
+    trainer.make_dataset = spy
+    metrics = trainer.run()
+    assert metrics["total_ins"] == 128.0, metrics  # both sub-dirs trained
+    assert any(d.endswith("0000") for d in seen)
+    assert any(d.endswith("1200") for d in seen)
