@@ -170,7 +170,7 @@ class ModelDef:
         return dict(batch, sparse_uniq=uniq, sparse_slot=slot)
 
     def apply_sparse_updates(self, params: Any, extra, grads: Any,
-                             batch: Batch):
+                             batch: Batch, rng=None):
         """Consume delta grads → row-wise Adam on the tapped tables.
 
         Runs inside the jitted train step, after the dense optimizer
@@ -183,6 +183,9 @@ class ModelDef:
         )
 
         adagrad = self._sparse_update_rule() == "adagrad"
+        if not bool(self.config.hyper("sparse_update_stochastic_round",
+                                      False)):
+            rng = None  # round-to-nearest (deterministic) by default
         taps = find_sparse_taps(params)
         lr = float(self.config.hyper("optimizer.learning_rate", 0.001))
         # mirror clip_by_norm onto the tapped grads — the dense optimizer
@@ -214,13 +217,14 @@ class ModelDef:
                 new_table, st = apply_fn(
                     table, extra[key], dgrad,
                     batch["sparse_uniq"], batch["sparse_slot"], lr,
+                    rng=rng,
                 )
             else:
                 apply_fn = (apply_sparse_adagrad if adagrad
                             else apply_sparse_update)
                 phys = ((ids % vocab).reshape(-1) // pack).astype(jnp.int32)
                 new_table, st = apply_fn(
-                    table, extra[key], dgrad, phys, lr
+                    table, extra[key], dgrad, phys, lr, rng=rng
                 )
             params = set_path(params, tpath, new_table)
             new_extra[key] = st

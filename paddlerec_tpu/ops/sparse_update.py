@@ -129,6 +129,7 @@ def apply_sparse_adagrad(
     phys: jnp.ndarray,
     lr: float,
     eps: float = 1e-8,
+    rng=None,
 ) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
     """Sort-free row-wise adagrad: minimum-traffic sparse update.
 
@@ -147,7 +148,7 @@ def apply_sparse_adagrad(
     t_n = (table[phys].astype(jnp.float32)
            - lr * g_r * jax.lax.rsqrt(a_r + eps)[:, None])
     return (
-        table.at[phys].set(t_n.astype(table.dtype), mode="drop"),
+        table.at[phys].set(_cast_to_table(t_n, table, rng), mode="drop"),
         RowwiseAdagradState(acc=state.acc.at[phys].set(a_r, mode="drop")),
     )
 
@@ -164,6 +165,33 @@ def host_dedup(ids, vocab: int, pack: int):
     out = np.full(phys.size, SENTINEL, np.int32)
     out[: len(uniq)] = uniq
     return out, slot.reshape(-1).astype(np.int32)
+
+
+def stochastic_round_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
+    """float32 → bfloat16 with stochastic rounding.
+
+    Round-to-nearest silently drops updates smaller than ~0.4% of the
+    weight's magnitude (bf16 has an 8-bit mantissa), so long runs of
+    tiny optimizer steps stall.  Adding a uniform 16-bit value to the
+    truncated bits before chopping makes the rounding unbiased: the
+    EXPECTED stored value equals the f32 value, so small updates
+    accumulate across steps instead of vanishing."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.randint(
+        key, x.shape, 0, 1 << 16, dtype=jnp.uint32
+    )
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
+def _cast_to_table(t_n: jnp.ndarray, table: jnp.ndarray, rng):
+    """f32 update results → table dtype; stochastic rounding for bf16
+    when an rng is provided (hyper sparse_update_stochastic_round)."""
+    if table.dtype == jnp.bfloat16 and rng is not None:
+        return stochastic_round_bf16(t_n, rng)
+    return t_n.astype(table.dtype)
 
 
 def _compact_grad(table, delta_grad, uniq, slot):
@@ -183,6 +211,7 @@ def apply_sparse_adagrad_compact(
     slot: jnp.ndarray,
     lr: float,
     eps: float = 1e-8,
+    rng=None,
 ) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
     """Row-wise adagrad with HOST-deduped rows: the only O(R) memory is
     the table itself — the grad scratch is (N, 128), so vocab 10^8 fits
@@ -194,7 +223,7 @@ def apply_sparse_adagrad_compact(
     # NOTE: no unique_indices hint — the padding repeats SENTINEL, which
     # would break the all-distinct promise (UB); drop-mode handles it
     return (
-        table.at[uniq].set(t_n.astype(table.dtype), mode="drop"),
+        table.at[uniq].set(_cast_to_table(t_n, table, rng), mode="drop"),
         RowwiseAdagradState(acc=state.acc.at[uniq].set(a_r, mode="drop")),
     )
 
@@ -209,6 +238,7 @@ def apply_sparse_adam_compact(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    rng=None,
 ) -> Tuple[jnp.ndarray, RowwiseAdamState]:
     """Row-wise Adam with HOST-deduped rows (see adagrad variant)."""
     g_uniq, safe = _compact_grad(table, delta_grad, uniq, slot)
@@ -221,7 +251,7 @@ def apply_sparse_adam_compact(
     ) / (jnp.sqrt(v_n / (1.0 - b2**c_f)) + eps)
     kw = dict(mode="drop")  # no unique hint: SENTINEL padding repeats
     return (
-        table.at[uniq].set(t_n.astype(table.dtype), **kw),
+        table.at[uniq].set(_cast_to_table(t_n, table, rng), **kw),
         RowwiseAdamState(
             m=state.m.at[uniq].set(m_n, **kw),
             v=state.v.at[uniq].set(v_n, **kw),
@@ -239,6 +269,7 @@ def apply_sparse_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    rng=None,
 ) -> Tuple[jnp.ndarray, RowwiseAdamState]:
     """Per-position delta grads + physical row ids → row-wise Adam step.
 
@@ -272,7 +303,7 @@ def apply_sparse_update(
     v_hat = v_n / (1.0 - b2**c_f)
     t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
     return (
-        table.at[phys].set(t_n.astype(table.dtype), mode="drop"),
+        table.at[phys].set(_cast_to_table(t_n, table, rng), mode="drop"),
         RowwiseAdamState(
             m=state.m.at[phys].set(m_n, mode="drop"),
             v=state.v.at[phys].set(v_n, mode="drop"),

@@ -193,7 +193,8 @@ class Trainer:
                 # row-wise sparse embedding update (the tapped tables are
                 # frozen for the dense optimizer above)
                 new_params, new_extra = model_def.apply_sparse_updates(
-                    state.params, state.extra, grads, batch
+                    state.params, state.extra, grads, batch,
+                    rng=jax.random.fold_in(base_key, state.step),
                 )
                 state = state.replace(params=new_params, extra=new_extra)
             if use_auc:

@@ -339,3 +339,29 @@ def test_bf16_table_learns(tmp_path):
     assert metrics["auc"] > 0.9, metrics
     table = trainer.state.params["embedding"]["embedding"]
     assert table.dtype == jnp.bfloat16
+
+
+def test_stochastic_rounding_accumulates_tiny_updates():
+    """bf16 + stochastic rounding: many sub-resolution updates must move
+    the stored value in expectation; round-to-nearest freezes it."""
+    from paddlerec_tpu.ops.sparse_update import stochastic_round_bf16
+
+    x = jnp.full((4096,), 1.0, jnp.float32)
+    tiny = 1e-4  # far below bf16 resolution at 1.0 (~0.0078)
+    # round-to-nearest: value never moves
+    rtn = jnp.asarray(x + tiny).astype(jnp.bfloat16)
+    assert float(jnp.abs(rtn.astype(jnp.float32) - 1.0).max()) == 0.0
+    # stochastic: mean of the stored values ≈ the true value
+    sr = stochastic_round_bf16(x + tiny, jax.random.PRNGKey(0))
+    mean = float(sr.astype(jnp.float32).mean())
+    assert abs(mean - (1.0 + tiny)) < 3e-5, mean
+    # simulated long run: accumulate 500 tiny steps through bf16 storage
+    stored = jnp.full((4096,), 1.0, jnp.bfloat16)
+    key = jax.random.PRNGKey(1)
+    for i in range(500):
+        key, k = jax.random.split(key)
+        stored = stochastic_round_bf16(
+            stored.astype(jnp.float32) + tiny, k
+        )
+    drift = float(stored.astype(jnp.float32).mean()) - 1.0
+    assert abs(drift - 500 * tiny) < 0.01, drift  # ≈ 0.05 accumulated
