@@ -418,8 +418,29 @@ class CTRModelDef(ModelDef):
             vocab=self.vocab_size,
         )
 
+    def _embed_context(self):
+        """Trace-time SlotEmbedding defaults from config: every CTR model
+        honors sparse_update / sparse_feature_dtype without per-module
+        attribute plumbing (explicit module attrs still win)."""
+        from paddlerec_tpu.ops.embedding import slot_embedding_context
+
+        kw = self.sparse_embed_kwargs()
+        dtype = self.table_dtype()
+        return slot_embedding_context(
+            external_update=kw.get("external_update"),
+            delta_capacity=kw.get("delta_capacity"),
+            param_dtype=None if dtype == jnp.float32 else dtype,
+        )
+
+    def init_with_batch(self, rng: jax.Array, batch: Batch) -> Any:
+        with self._embed_context():
+            return super().init_with_batch(rng, batch)
+
     def train_forward(self, params: Any, batch: Batch) -> Tuple[jnp.ndarray, Aux]:
-        logits = self.module.apply({"params": params}, *self.model_inputs(batch))
+        with self._embed_context():
+            logits = self.module.apply(
+                {"params": params}, *self.model_inputs(batch)
+            )
         logits = logits.reshape(-1)
         labels = batch["label"].reshape(-1).astype(jnp.float32)
         mask = batch.get("mask")

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import contextlib
+
 from numpy import prod as np_prod
 
 from paddlerec_tpu.ops.packed_embedding import init_packed_table, packed_lookup
@@ -28,6 +30,23 @@ from paddlerec_tpu.ops.packed_embedding import init_packed_table, packed_lookup
 # Param names with this prefix get row-sharded over the model axis (see
 # paddlerec_tpu/parallel/sharding.py).
 EMBEDDING_PARAM_NAME = "embedding"
+
+# trace-time defaults: CTRModelDef wraps init/apply in
+# slot_embedding_context so EVERY SlotEmbedding-based model honors
+# hyper_parameters.{sparse_update,sparse_feature_dtype} without
+# per-module attribute plumbing.  Explicit module attrs always win.
+_CTX: dict = {}
+
+
+@contextlib.contextmanager
+def slot_embedding_context(**kw):
+    global _CTX
+    old = _CTX
+    _CTX = {**old, **{k: v for k, v in kw.items() if v is not None}}
+    try:
+        yield
+    finally:
+        _CTX = old
 
 
 class SlotEmbedding(nn.Module):
@@ -56,15 +75,27 @@ class SlotEmbedding(nn.Module):
     hash_ids: bool = True
     packed: bool = True
     distributed: Optional[bool] = None
-    param_dtype: jnp.dtype = jnp.float32
+    # None = fall back to the active slot_embedding_context (then f32)
+    param_dtype: Optional[jnp.dtype] = None
     init_stddev: float = 1e-2
     # external (sparse) update mode: the table is read through
     # stop_gradient and a zero "embedding_delta" param taps per-position
     # row grads, so the optimizer can update ONLY touched rows
     # (ops/sparse_update.py).  delta_capacity bounds positions per batch
     # and MUST be set explicitly (ModelDef.sparse_embed_kwargs does).
-    external_update: bool = False
-    delta_capacity: int = 0
+    external_update: Optional[bool] = None
+    delta_capacity: Optional[int] = None
+
+    def _resolved(self):
+        """(external_update, delta_capacity, param_dtype) with context
+        fallbacks — explicit attrs win."""
+        ext = (self.external_update if self.external_update is not None
+               else _CTX.get("external_update", False))
+        cap = (self.delta_capacity if self.delta_capacity is not None
+               else _CTX.get("delta_capacity", 0))
+        dtype = (self.param_dtype if self.param_dtype is not None
+                 else _CTX.get("param_dtype", jnp.float32))
+        return bool(ext), int(cap), dtype
 
     def _use_distributed(self) -> bool:
         from paddlerec_tpu.parallel import context
@@ -73,8 +104,8 @@ class SlotEmbedding(nn.Module):
             return self.distributed and context.get_mesh() is not None
         return self.packed and context.model_parallel_size() > 1
 
-    def _external_lookup(self, table: jnp.ndarray, ids: jnp.ndarray
-                         ) -> jnp.ndarray:
+    def _external_lookup(self, table: jnp.ndarray, ids: jnp.ndarray,
+                         cap: int) -> jnp.ndarray:
         """Sparse-update path: stop-grad table read + delta grad tap.
 
         Math is identical to packed_lookup; only the autodiff routing
@@ -87,7 +118,6 @@ class SlotEmbedding(nn.Module):
         w = sub_width(self.embedding_dim)
         pack = 128 // w
         n = int(np_prod(ids.shape))
-        cap = self.delta_capacity
         if cap <= 0:
             raise ValueError(
                 "external_update requires an explicit delta_capacity "
@@ -129,16 +159,17 @@ class SlotEmbedding(nn.Module):
     def __call__(
         self, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        ext, cap, dtype = self._resolved()
         if self.hash_ids:
             ids = ids % self.vocab_size
         ids = ids.astype(jnp.int32)
-        if self.external_update and self._use_distributed():
+        if ext and self._use_distributed():
             raise NotImplementedError(
                 "sparse_update (external_update) is a single-host path; "
                 "with model-parallel tables use the all_to_all engine "
                 "without sparse_update (v1 limitation)"
             )
-        if self.external_update and not self.hash_ids:
+        if ext and not self.hash_ids:
             raise ValueError(
                 "external_update requires hash_ids=True: the optimizer-"
                 "side row mapping mirrors the ids %% vocab hash"
@@ -151,14 +182,14 @@ class SlotEmbedding(nn.Module):
                 context.get_mesh(),
                 self.vocab_size,
                 self.embedding_dim,
-                dtype=self.param_dtype,
+                dtype=dtype,
             )
             table = self.param(
                 EMBEDDING_PARAM_NAME,
                 lambda key: jax.random.normal(
-                    key, (eng.rows, 128), self.param_dtype
+                    key, (eng.rows, 128), dtype
                 )
-                * self.init_stddev,
+                * jnp.asarray(self.init_stddev, dtype),
             )
             flat_ids = ids.reshape(ids.shape[0], -1)
             vecs = eng.lookup(table, flat_ids)
@@ -171,11 +202,11 @@ class SlotEmbedding(nn.Module):
                     self.vocab_size,
                     self.embedding_dim,
                     stddev=self.init_stddev,
-                    dtype=self.param_dtype,
+                    dtype=dtype,
                 ),
             )
-            if self.external_update:
-                vecs = self._external_lookup(table, ids)
+            if ext:
+                vecs = self._external_lookup(table, ids, cap)
             else:
                 vecs = packed_lookup(table, ids, self.embedding_dim)
         else:
@@ -183,7 +214,7 @@ class SlotEmbedding(nn.Module):
                 EMBEDDING_PARAM_NAME,
                 nn.initializers.normal(stddev=self.init_stddev),
                 (self.vocab_size, self.embedding_dim),
-                self.param_dtype,
+                dtype,
             )
             vecs = jnp.take(table, ids, axis=0, mode="clip")
         if ids.ndim == 2:  # (B, S) → (B, S, E)

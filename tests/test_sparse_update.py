@@ -365,3 +365,44 @@ def test_stochastic_rounding_accumulates_tiny_updates():
         )
     drift = float(stored.astype(jnp.float32).mean()) - 1.0
     assert abs(drift - 500 * tiny) < 0.01, drift  # ≈ 0.05 accumulated
+
+
+def test_sparse_update_via_context_across_ctr_zoo():
+    """CTRModelDef's trace-time context gives EVERY SlotEmbedding-based
+    CTR model sparse_update + bf16 tables from config alone."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.core.registry import get_model_class
+    from paddlerec_tpu.ops.sparse_update import find_sparse_taps, get_path
+
+    for name in ("rank.fm", "rank.dcn_v2", "rank.xdeepfm", "rank.autoint"):
+        md = get_model_class(name)(Config({
+            "runner.model": name,
+            "runner.train_batch_size": 8,
+            "runner.infer_batch_size": 8,
+            "hyper_parameters.sparse_inputs_slots": 5,
+            "hyper_parameters.dense_input_dim": 4,
+            "hyper_parameters.sparse_feature_number": 300,
+            "hyper_parameters.sparse_feature_dim": 8,
+            "hyper_parameters.fc_sizes": [16],
+            "hyper_parameters.sparse_update": True,
+            "hyper_parameters.sparse_feature_dtype": "bfloat16",
+        }))
+        batch = jax.tree.map(jnp.asarray, md.example_batch(8))
+        params = md.init_with_batch(jax.random.PRNGKey(0), batch)
+        taps = find_sparse_taps(params)
+        assert len(taps) == 1, name
+        (dpath, tpath), = taps.items()
+        assert get_path(params, tpath).dtype == jnp.bfloat16, name
+        extra = md.init_sparse_state(params)
+        (_, _), g = jax.value_and_grad(
+            lambda p: md.train_forward(p, batch), has_aux=True
+        )(params)
+        # table grad is zero (tap routes it), delta grad is not
+        assert float(jnp.abs(get_path(g, tpath).astype(jnp.float32)).max()) == 0.0, name
+        assert float(jnp.abs(get_path(g, dpath)).max()) > 0.0, name
+        new_params, _ = md.apply_sparse_updates(
+            params, extra, g, md.augment_batch_host(batch)
+        )
+        assert not jnp.array_equal(
+            get_path(new_params, tpath), get_path(params, tpath)
+        ), name
