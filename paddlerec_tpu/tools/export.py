@@ -44,15 +44,29 @@ def export_model(config: Config, export_dir: str, epoch_tag=None) -> str:
             params_only=True,
         )
     os.makedirs(export_dir, exist_ok=True)
-    ckpt_lib.save_params_only(
-        jax.device_get(trainer.state.params), export_dir, "params"
-    )
+    params = jax.device_get(trainer.state.params)
+    cfg_out = {k: v for k, v in config.items() if _jsonable(v)}
+    if getattr(trainer.model_def, "sparse_update_enabled", bool)():
+        # training-only grad-tap deltas are all-zero and can be 100MB+;
+        # drop them and flip the artifact to the plain lookup path
+        # (numerically identical forward)
+        params = _strip_deltas(params)
+        cfg_out["hyper_parameters.sparse_update"] = False
+    ckpt_lib.save_params_only(params, export_dir, "params")
     with open(os.path.join(export_dir, "config.json"), "w") as f:
-        json.dump(
-            {k: v for k, v in config.items() if _jsonable(v)}, f, indent=2
-        )
+        json.dump(cfg_out, f, indent=2)
     logger.info(f"exported inference artifact to {export_dir}")
     return export_dir
+
+
+def _strip_deltas(params):
+    """Remove 'embedding_delta' leaves (dict pytrees) recursively."""
+    if isinstance(params, dict):
+        return {
+            k: _strip_deltas(v) for k, v in params.items()
+            if k != "embedding_delta"
+        }
+    return params
 
 
 def _jsonable(v) -> bool:

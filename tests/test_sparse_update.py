@@ -406,3 +406,51 @@ def test_sparse_update_via_context_across_ctr_zoo():
         assert not jnp.array_equal(
             get_path(new_params, tpath), get_path(params, tpath)
         ), name
+
+
+def test_export_strips_delta_and_runs_plain_lookup(tmp_path):
+    """Exporting a sparse_update-trained model drops the zero delta
+    param (100MB+ at production capacity) and flips the artifact to the
+    plain lookup path — forwards are numerically identical."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+    from paddlerec_tpu.tools.export import export_model, load_exported
+    from paddlerec_tpu.train.trainer import Trainer
+
+    data = str(tmp_path / "train")
+    write_criteo_sample(data, num_lines=300, num_files=1, vocab=2000)
+    flat = {
+        "runner.model": "rank.dnn",
+        "runner.train_data_dir": data,
+        "runner.test_data_dir": data,
+        "runner.train_batch_size": 64,
+        "runner.epochs": 1,
+        "runner.print_interval": 100,
+        "runner.model_save_path": str(tmp_path / "out"),
+        "hyper_parameters.sparse_inputs_slots": 27,
+        "hyper_parameters.dense_input_dim": 13,
+        "hyper_parameters.sparse_feature_number": 2000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.fc_sizes": [16],
+        "hyper_parameters.sparse_update": True,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 0.01,
+    }
+    trainer = Trainer(Config(dict(flat)))
+    trainer.train()
+    cfg = Config(dict(flat,
+                      **{"runner.model_init_path": str(tmp_path / "out/0")}))
+    export_model(cfg, str(tmp_path / "export"))
+    md, params = load_exported(str(tmp_path / "export"))
+    paths = {"/".join(str(k.key) for k in p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert not any("embedding_delta" in p for p in paths)
+    assert not md.sparse_update_enabled()
+    # forward parity: artifact output == training-model output
+    batch = jax.tree.map(jnp.asarray, md.example_batch(32))
+    art = md.infer_forward(params, batch)["predictions"]
+    train_out = trainer.model_def.infer_forward(
+        trainer.state.params, batch
+    )["predictions"]
+    np.testing.assert_allclose(np.asarray(art), np.asarray(train_out),
+                               rtol=1e-5)
