@@ -169,6 +169,18 @@ class ModelDef:
         uniq, slot = host_dedup(self.sparse_update_ids(batch), vocab, pack)
         return dict(batch, sparse_uniq=uniq, sparse_slot=slot)
 
+    def clip_grads(self, grads: Any):
+        """One global-norm clip over the FULL grads tree (reference
+        ClipGradByGlobalNorm semantics) — used by the trainer for
+        sparse runs, where the optax-chained clip would only see the
+        non-frozen leaves."""
+        clip = self.config.hyper("clip_by_norm")
+        if not clip:
+            return grads
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, float(clip) / jnp.maximum(gnorm, 1e-12))
+        return jax.tree.map(lambda g: g * scale, grads)
+
     def apply_sparse_updates(self, params: Any, extra, grads: Any,
                              batch: Batch, rng=None):
         """Consume delta grads → row-wise Adam on the tapped tables.
@@ -188,13 +200,7 @@ class ModelDef:
             rng = None  # round-to-nearest (deterministic) by default
         taps = find_sparse_taps(params)
         lr = float(self.config.hyper("optimizer.learning_rate", 0.001))
-        # mirror clip_by_norm onto the tapped grads — the dense optimizer
-        # clips only its own (non-frozen) leaves
-        clip = self.config.hyper("clip_by_norm")
-        scale = None
-        if clip:
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, float(clip) / jnp.maximum(gnorm, 1e-12))
+        scale = None  # grads arrive pre-clipped (see clip_grads)
         vocab = int(self.config.hyper("sparse_feature_number", 1000001))
         default_pack = 128 // sub_width(int(getattr(
             self, "sparse_embed_logical_dim",
@@ -237,8 +243,11 @@ class ModelDef:
         cfg = self.config
         tx = self._base_optimizer()
         clip = cfg.hyper("clip_by_norm")
-        if clip:
+        if clip and not self.sparse_update_enabled():
             tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        # sparse runs clip ONCE over the whole grads tree in the trainer
+        # (clip_grads) so dense and row-wise updates share one norm —
+        # a per-transform clip would see only the non-frozen leaves
         if self.sparse_update_enabled():
             # the tapped tables and their deltas are updated row-wise by
             # apply_sparse_updates; freeze them for the dense optimizer so

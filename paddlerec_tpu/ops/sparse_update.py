@@ -85,17 +85,20 @@ def rowwise_adam(
     num_rows = table.shape[0]
     valid = (uniq < num_rows)[:, None]
     safe = jnp.where(uniq < num_rows, uniq, 0)
-    g = row_grads.astype(table.dtype)
-    t_r = table[safe]
+    # all math in float32: bf16(0.999) == 1.0 would zero the bias
+    # correction and silently freeze the table
+    g = row_grads.astype(jnp.float32)
+    t_r = table[safe].astype(jnp.float32)
     m_r = state.m[safe]
     v_r = state.v[safe]
     c_r = state.count[safe] + 1
     m_n = b1 * m_r + (1.0 - b1) * g
     v_n = b2 * v_r + (1.0 - b2) * g * g
-    c_f = c_r.astype(table.dtype)[:, None]
+    c_f = c_r.astype(jnp.float32)[:, None]
     m_hat = m_n / (1.0 - b1**c_f)
     v_hat = v_n / (1.0 - b2**c_f)
-    t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    t_n = (t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)).astype(table.dtype)
+    t_r = t_r.astype(table.dtype)
     # sentinel (and masked) rows scatter out of bounds → dropped
     idx = jnp.where(valid[:, 0], uniq, num_rows)
     new_table = table.at[idx].set(jnp.where(valid, t_n, t_r), mode="drop")

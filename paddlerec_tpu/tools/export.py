@@ -37,11 +37,21 @@ def export_model(config: Config, export_dir: str, epoch_tag=None) -> str:
     init_path = resolve_path(config, "runner.model_init_path")
     if epoch_tag is not None:
         load_root = resolve_path(config, "runner.infer_load_path")
+        if not load_root:
+            raise ValueError(
+                "exporting a specific epoch requires "
+                "runner.infer_load_path (the checkpoint root)"
+            )
         trainer.load_checkpoint(load_root, epoch_tag, params_only=True)
     elif init_path:
         trainer.load_checkpoint(
             os.path.dirname(init_path), os.path.basename(init_path),
             params_only=True,
+        )
+    else:
+        logger.warning(
+            "no runner.model_init_path / epoch given — exporting FRESHLY "
+            "INITIALIZED (untrained) parameters"
         )
     os.makedirs(export_dir, exist_ok=True)
     params = jax.device_get(trainer.state.params)

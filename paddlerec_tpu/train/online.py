@@ -82,26 +82,45 @@ class FeatureStats:
                  delete_after_unseen_days: int = 30):
         self.show = np.zeros((num_rows,), np.float32)
         self.unseen_days = np.zeros((num_rows,), np.int32)
+        # rows the table has actually hosted — only these are eligible
+        # for eviction (never-seen rows keep their random init; the
+        # reference PS only evicts features that exist in the table)
+        self.seen = np.zeros((num_rows,), bool)
         self.decay = decay
         self.delete_threshold = delete_threshold
         self.delete_after_unseen_days = delete_after_unseen_days
 
     def observe(self, rows: np.ndarray) -> None:
-        counts = np.bincount(rows.reshape(-1), minlength=len(self.show))
-        self.show += counts.astype(np.float32)
-        self.unseen_days[counts > 0] = -1  # reset at end_day (+1 → 0)
+        rows = rows.reshape(-1)
+        # O(batch), not O(table): a bincount allocates and streams the
+        # whole table length on every batch
+        np.add.at(self.show, rows, 1.0)
+        self.unseen_days[rows] = -1  # reset at end_day (+1 → 0)
+        self.seen[rows] = True
 
     def end_day(self) -> np.ndarray:
-        """Apply decay; return the row ids to evict."""
+        """Apply decay; return the row ids to evict (seen rows only)."""
         self.show *= self.decay
         self.unseen_days += 1
-        evict = (self.show < self.delete_threshold) | (
-            self.unseen_days > self.delete_after_unseen_days
+        evict = self.seen & (
+            (self.show < self.delete_threshold)
+            | (self.unseen_days > self.delete_after_unseen_days)
         )
         evict_rows = np.nonzero(evict)[0]
         self.show[evict] = 0.0
         self.unseen_days[evict] = 0
+        self.seen[evict] = False
         return evict_rows
+
+    def save(self, path: str) -> None:
+        np.savez(path, show=self.show, unseen_days=self.unseen_days,
+                 seen=self.seen)
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        self.show = z["show"]
+        self.unseen_days = z["unseen_days"]
+        self.seen = z["seen"]
 
 
 class OnlineTrainer(Trainer):
@@ -109,7 +128,11 @@ class OnlineTrainer(Trainer):
 
     def __init__(self, config: Config, model_def=None, mesh=None):
         super().__init__(config, model_def=model_def, mesh=mesh)
-        self.days = [str(d) for d in str(config.runner("days", "")).split()] or None
+        raw_days = config.runner("days", "")
+        if isinstance(raw_days, (list, tuple)):
+            self.days = [str(d) for d in raw_days] or None
+        else:
+            self.days = [str(d) for d in str(raw_days).split()] or None
         self.start_day = str(config.runner("start_day", "20240101"))
         self.end_day = str(config.runner("end_day", self.start_day))
         self.split_interval = int(config.runner("split_interval", 5))
@@ -182,29 +205,40 @@ class OnlineTrainer(Trainer):
             self._observe_batch(batch)
             yield batch
 
+    def _make_stats(self, rows: int) -> FeatureStats:
+        return FeatureStats(
+            rows,
+            decay=float(self.config.get(
+                "table_parameters.show_click_decay_rate", 0.98)),
+            delete_threshold=float(self.config.get(
+                "table_parameters.delete_threshold", 0.8)),
+            delete_after_unseen_days=int(self.config.get(
+                "table_parameters.delete_after_unseen_days", 30)),
+        )
+
     def _observe_batch(self, batch) -> None:
         if not self._feature_lifecycle or "sparse" not in batch:
             return
-        entries = self._embedding_entries()
-        if not entries:
-            return
         if self.stats is None:
-            rows = entries[0][1].shape[0]
-            self.stats = FeatureStats(
-                rows,
-                decay=float(self.config.get(
-                    "table_parameters.show_click_decay_rate", 0.98)),
-                delete_threshold=float(self.config.get(
-                    "table_parameters.delete_threshold", 0.8)),
-                delete_after_unseen_days=int(self.config.get(
-                    "table_parameters.delete_after_unseen_days", 30)),
-            )
+            entries = self._embedding_entries()
+            if not entries:
+                self._feature_lifecycle = False  # no tables to track
+                return
+            self.stats = self._make_stats(entries[0][1].shape[0])
         ids = np.asarray(batch["sparse"]).reshape(-1)
         vocab = getattr(self.model_def, "vocab_size", None)
         if vocab:
             ids = ids % vocab
         rows_total = len(self.stats.show)
-        pack = max(1, int(np.ceil(vocab / rows_total))) if vocab else 1
+        if vocab:
+            from paddlerec_tpu.ops.sparse_update import infer_pack
+
+            try:
+                pack = infer_pack(vocab, rows_total)
+            except ValueError:
+                pack = max(1, int(np.ceil(vocab / rows_total)))
+        else:
+            pack = 1
         self.stats.observe((ids // pack) % rows_total)
 
     def shrink(self) -> int:
@@ -318,9 +352,14 @@ class OnlineTrainer(Trainer):
             ckpts = [r for r in records if r["kind"] == "checkpoint"]
             if ckpts:
                 logger.info(f"resuming state from {ckpts[-1]['path']}")
-                self.load_checkpoint(
-                    save_root, os.path.basename(ckpts[-1]["path"])
-                )
+                tag = os.path.basename(ckpts[-1]["path"])
+                self.load_checkpoint(save_root, tag)
+                stats_path = os.path.join(save_root, f"{tag}_stats.npz")
+                if os.path.exists(stats_path):
+                    entries = self._embedding_entries()
+                    if entries:
+                        self.stats = self._make_stats(entries[0][1].shape[0])
+                        self.stats.load(stats_path)
             # the skip gate must match what the restored STATE contains:
             # delta/base records are published artifacts, not resume
             # points — gating on them would skip passes whose training
@@ -338,9 +377,11 @@ class OnlineTrainer(Trainer):
                     continue  # already trained (exactly-once per donefile)
                 # a pass may span several split intervals — train them all
                 dirs = [os.path.join(data_root, day, d) for d in pass_dirs]
-                pass_dir = dirs[0]
-                if not self.wait_for_data(pass_dir):
-                    continue  # no data for this pass
+                # every interval of the pass must be ready — gating only
+                # the first would train on partial data and mark the
+                # pass done forever
+                if not all(self.wait_for_data(d) for d in dirs):
+                    continue  # no (complete) data for this pass
                 if first and self.save_first_base:
                     path = ckpt_lib.save_params_only(
                         jax.device_get(self.state.params), save_root,
@@ -361,6 +402,13 @@ class OnlineTrainer(Trainer):
                         extra=(jax.device_get(self.state.extra)
                                if self.state.extra is not None else None),
                     )
+                    if self.stats is not None:
+                        # feature-lifecycle state must survive restarts
+                        # (the reference persists show/click inside the
+                        # PS table)
+                        self.stats.save(os.path.join(
+                            save_root, f"{tag}_stats.npz"
+                        ))
                     self.write_done(day, pass_id, path, "checkpoint")
                 if (pass_id + 1) % self.save_delta_frequency == 0:
                     tag = f"delta_{day}_{pass_id}"

@@ -188,6 +188,9 @@ class Trainer:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            if state.extra is not None:
+                # one shared global-norm clip for dense AND row-wise
+                grads = model_def.clip_grads(grads)
             state = state.apply_gradients(grads)
             if state.extra is not None:
                 # row-wise sparse embedding update (the tapped tables are
