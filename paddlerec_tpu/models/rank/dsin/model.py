@@ -77,24 +77,30 @@ class DSINNet(nn.Module):
         tr_input = jnp.concatenate([cate_sess, brand_sess], -1)  # (B,S,L,8)
 
         b, s, L, d = tr_input.shape
-        # ONE transformer call over all sessions: (B·S, L, 8)
+        # ONE transformer call over all sessions: (B·S, L, 8).
+        # Pad positions (id 0 within a session) must not attend or pool —
+        # derive the key mask from the cate ids of each event
+        pos_mask = (sess_input[:, ::2, :] > 0).astype(tr_input.dtype)
         flat = tr_input.reshape(b * s, L, d)
+        flat_mask = pos_mask.reshape(b * s, L)
         flat = flat + sinusoidal_position_encoding(L, d)[None]
         flat = TransformerBlock(
             num_heads=8,
             head_dim=max(self.att_embedding_size // 8, 1),
             ffn_dim=64,
             name="sess_transformer",
-        )(flat, jnp.ones((b * s, L), flat.dtype))
-        sess_fea = flat.mean(axis=1).reshape(b, s, d)  # (B, S, 8)
-
-        lstm_out = BiLSTM(d, num_layers=2, name="bilstm")(sess_fea)
-        lstm_out = (lstm_out[..., :d] + lstm_out[..., d:]) / 2  # (B, S, 8)
+        )(flat, flat_mask)
+        denom = jnp.maximum(flat_mask.sum(-1, keepdims=True), 1.0)
+        sess_fea = (
+            (flat * flat_mask[..., None]).sum(axis=1) / denom
+        ).reshape(b, s, d)  # (B, S, 8) masked mean
 
         sess_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
             < sess_length[:, None]
         ).astype(flat.dtype)
+        lstm_out = BiLSTM(d, num_layers=2, name="bilstm")(sess_fea, sess_mask)
+        lstm_out = (lstm_out[..., :d] + lstm_out[..., d:]) / 2  # (B, S, 8)
         att_tr = TargetAttention(
             hidden_sizes=(64, 16), use_softmax=True, name="tr_actpool"
         )(sess_fea, query, sess_mask)
@@ -219,12 +225,12 @@ class DSINDataset:
         label = np.zeros((n,), np.float32)
         for i, p in enumerate(rows):
             label[i] = float(p[0])
-            sparse[i] = [int(v) for v in p[1].split(",")][:15]
+            sp = [int(v) for v in p[1].split(",")][:15]
+            sparse[i, : len(sp)] = sp  # short rows: zero-pad, don't crash
             price[i] = float(p[2])
-            ids = [int(v) for v in p[3].split(",")]
-            sess[i] = np.asarray(
-                ids[: self.rows * self.cols]
-            ).reshape(self.rows, self.cols)
+            ids = [int(v) for v in p[3].split(",")][: self.rows * self.cols]
+            ids = ids + [0] * (self.rows * self.cols - len(ids))
+            sess[i] = np.asarray(ids).reshape(self.rows, self.cols)
             sess_len[i] = int(p[4])
         return {
             "sparse": sparse, "price": price, "sess_input": sess,

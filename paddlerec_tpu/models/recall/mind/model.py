@@ -33,10 +33,13 @@ class CapsuleRouting(nn.Module):
             "bilinear_w", nn.initializers.normal(1.0 / jnp.sqrt(e)), (e, e)
         )
         u_hat = jnp.einsum("bte,ef->btf", hist, s_w)  # shared bilinear map
-        # fixed random logits init (paper: random init keeps capsules diverse)
-        logits0 = self.param(
+        # fixed random logits init (paper: random init keeps capsules
+        # diverse); NON-trainable — the reference stop_gradients the B2I
+        # routing logits, and training them collapses capsules toward a
+        # shared prior
+        logits0 = jax.lax.stop_gradient(self.param(
             "routing_logits", nn.initializers.normal(1.0), (1, k, t)
-        )
+        ))
         logits = jnp.broadcast_to(logits0, (b, k, t))
         neg_inf = -1e9
 
@@ -58,11 +61,18 @@ class MINDNet(nn.Module):
     interest_num: int = 4
     pow_p: float = 1.0
 
-    @nn.compact
+    def setup(self):
+        # setup()-created submodules so user_capsules (the recall-serving
+        # entry point) is callable via apply(..., method=...) — creating
+        # them inside a plain method raises AssignSubModuleError
+        self.item_emb = nn.Embed(self.item_count, self.embedding_dim,
+                                 name="item_emb")
+        self.routing = CapsuleRouting(self.interest_num, name="routing")
+
     def __call__(self, hist_items, seq_mask, target_items, neg_items):
-        item_emb = nn.Embed(self.item_count, self.embedding_dim, name="item_emb")
+        item_emb = self.item_emb
         hist = item_emb(hist_items)  # (B, T, E)
-        caps = CapsuleRouting(self.interest_num, name="routing")(hist, seq_mask)
+        caps = self.routing(hist, seq_mask)
 
         tgt = item_emb(target_items)  # (B, E)
         att = jax.nn.softmax(
@@ -80,10 +90,9 @@ class MINDNet(nn.Module):
         return pos_logit, neg_logit, caps
 
     def user_capsules(self, hist_items, seq_mask):
-        hist = nn.Embed(self.item_count, self.embedding_dim, name="item_emb")(
-            hist_items
-        )
-        return CapsuleRouting(self.interest_num, name="routing")(hist, seq_mask)
+        """Serving entry: interest capsules for ANN recall
+        (apply(vars, hist, mask, method=MINDNet.user_capsules))."""
+        return self.routing(self.item_emb(hist_items), seq_mask)
 
 
 @register_model("recall.mind")
@@ -150,13 +159,14 @@ class ModelDef(ModelDef):
 
     def metric_updates(self, aux):
         pos = jax.nn.sigmoid(aux["pos_logit"])
-        neg = jax.nn.sigmoid(aux["neg_logit"][:, :8]).reshape(-1)  # subsample
+        k = min(8, aux["neg_logit"].shape[1])  # subsample
+        neg = jax.nn.sigmoid(aux["neg_logit"][:, :k]).reshape(-1)
         preds = jnp.concatenate([pos, neg])
         labels = jnp.concatenate([jnp.ones_like(pos), jnp.zeros_like(neg)])
         mask = aux.get("mask")
         if mask is not None:
             mask = jnp.concatenate(
-                [mask, jnp.repeat(mask[:, None], 8, axis=1).reshape(-1)]
+                [mask, jnp.repeat(mask[:, None], k, axis=1).reshape(-1)]
             )
         return {"auc": (preds, labels, mask)}
 

@@ -55,7 +55,12 @@ class TDMNet(nn.Module):
                 seg.sum(1) / jnp.maximum(seg_m.sum(1, keepdims=True), 1.0)
             )
             start += g
-        user = jnp.stack(groups, 1).mean(1)  # (B, E)
+        # concat the group vectors, then project: keeps the fea_groups
+        # structure the reference preserves (collapsing to a mean made
+        # the grouped pooling a no-op)
+        user = nn.Dense(self.node_emb_size, name="group_proj")(
+            jnp.concatenate(groups, axis=-1)
+        )  # (B, E)
 
         node = emb(unit_codes)  # (B, T, E)
         u = user[:, None, :]
@@ -171,7 +176,10 @@ class ModelDef(ModelDef):
             k = min(beam, cand.shape[1])
             _, idx = jax.lax.top_k(probs, k)
             cand = jnp.take_along_axis(cand, idx, axis=1)
-        probs = score(cand)
+            last_valid = jnp.take_along_axis(valid, idx, axis=1)
+        # final rescore must keep the validity mask — an invalid code
+        # with a high raw score would displace real leaves in the top-k
+        probs = jnp.where(last_valid, score(cand), -1.0)
         k = min(topk, cand.shape[1])
         _, idx = jax.lax.top_k(probs, k)
         top_codes = np.asarray(jnp.take_along_axis(cand, idx, axis=1))

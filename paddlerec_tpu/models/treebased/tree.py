@@ -40,7 +40,6 @@ class TreeIndex:
         self.max_level = self._level(int(self.codes.max())) if len(codes) else 0
         # per-level sets of codes that have ≥1 leaf descendant
         self.level_codes: List[np.ndarray] = []
-        active = set(int(c) for c in self.codes)
         levels: List[set] = [set() for _ in range(self.max_level + 1)]
         for c in self.codes:
             c = int(c)
@@ -100,6 +99,16 @@ class TreeIndex:
                 start = sub_end
 
         gen(0, len(ids), 0)
+        # push all leaves to the deepest level (same alignment as
+        # build_by_kmeans): sample()'s ancestor matrix assumes uniform
+        # leaf depth — unpadded shallow leaves would train on wrong
+        # positives whenever the catalog size is not a branch power
+        max_level = max(cls._static_level(int(c), branch) for c in codes)
+        for i in range(len(codes)):
+            c = int(codes[i])
+            while cls._static_level(c, branch) < max_level:
+                c = branch * c + branch
+            codes[i] = c
         return cls(ids, codes, branch)
 
     @classmethod

@@ -218,3 +218,26 @@ class TestMovieDemo:
         }
         scores, _ = rank.train_forward(kp, sel)
         assert np.isfinite(float(scores))
+
+
+def test_category_tree_pads_leaves_to_uniform_depth():
+    """Non-power-of-branch catalogs: build_by_category must align all
+    leaves to the deepest level, else sample() emits wrong positives
+    (regression: 6-item tree put leaves at levels 2 AND 3)."""
+    import numpy as np
+
+    from paddlerec_tpu.models.treebased.tree import TreeIndex
+
+    for n in (6, 23, 100):
+        tree = TreeIndex.build_by_category(np.arange(n), np.zeros(n))
+        levels = {tree._static_level(int(c), tree.branch)
+                  for c in tree.codes}
+        assert len(levels) == 1, (n, levels)
+        rng = np.random.RandomState(0)
+        targets = np.asarray([0, n // 2, n - 1])
+        units, labels = tree.sample(targets, neg_per_layer=2, rng=rng)
+        for r, item in enumerate(targets):
+            leaf = int(tree.codes[list(tree.item_ids).index(item)])
+            anc = set(tree.ancestors(leaf))
+            pos = units[r][labels[r] == 1]
+            assert all(int(c) in anc for c in pos), (n, item)
