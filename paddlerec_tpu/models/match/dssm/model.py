@@ -139,12 +139,17 @@ class DSSMDataset:
                     cols = line.rstrip("\n").split("\t")
                     if len(cols) < 2 + n:
                         continue
-                    q[row] = np.array(cols[0].split(","), dtype=np.float32)[:d]
-                    pos[row] = np.array(cols[1].split(","), dtype=np.float32)[:d]
+                    def put(dst, col):
+                        # prefix assignment: short/malformed vectors
+                        # zero-pad instead of crashing the epoch
+                        arr = np.array(col.split(","), dtype=np.float32)[:d]
+                        dst[: len(arr)] = arr
+                        dst[len(arr):] = 0.0
+
+                    put(q[row], cols[0])
+                    put(pos[row], cols[1])
                     for j in range(n):
-                        negs[row, j] = np.array(
-                            cols[2 + j].split(","), dtype=np.float32
-                        )[:d]
+                        put(negs[row, j], cols[2 + j])
                     row += 1
                     if row == bs:
                         yield {

@@ -342,18 +342,29 @@ class ModelDef(ModelDef):
             {"params": params}, *self.model_inputs(batch)
         )  # (B, C)
         labels = batch["labels"].astype(jnp.float32)
-        loss = -(labels * jax.nn.log_softmax(scores, -1)).sum(-1).mean()
+        per = -(labels * jax.nn.log_softmax(scores, -1)).sum(-1)
+        mask = batch.get("mask")
+        if mask is not None:
+            loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        else:
+            loss = per.mean()
         aux: Aux = {
             "predictions": jax.nn.sigmoid(scores).reshape(-1),
             "labels": labels.reshape(-1),
         }
+        if mask is not None:
+            c = scores.shape[1]
+            aux["mask"] = jnp.repeat(mask[:, None], c, 1).reshape(-1)
         return loss, aux
 
     def make_dataset(self, data_dir, batch_size, shuffle=False):
-        from paddlerec_tpu.data.slot_reader import list_data_files
+        from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
 
-        return KIMDataset(self, data_dir, list_data_files(data_dir),
-                          batch_size)
+        files = shard_files(
+            list_data_files(data_dir), jax.process_index(),
+            jax.process_count(),
+        )
+        return KIMDataset(self, data_dir, files, batch_size)
 
 
 class KIMDataset:
@@ -428,19 +439,23 @@ class KIMDataset:
                         continue
                     clicked = [x for x in parts[0].split(",") if x in self.news]
                     negs = [x for x in parts[2].split(",") if x in self.news]
-                    if parts[1] not in self.news or not clicked:
-                        continue
-                    cands = ([parts[1]] + negs + [parts[1]] * md.npratio)[:c]
+                    if parts[1] not in self.news or not clicked or not negs:
+                        continue  # no negatives -> no softmax contrast
+                    # cycle REAL negatives up to npratio (padding with the
+                    # positive labeled 0 would create contradictory targets)
+                    negs = (negs * md.npratio)[: md.npratio]
+                    cands = ([parts[1]] + negs)[:c]
                     buf.append((clicked[-s:], cands))
                     if len(buf) == self.batch_size:
-                        yield self._batch(buf)
+                        yield self._batch(buf, self.batch_size)
                         buf = []
         if buf:
-            yield self._batch(buf)
+            yield self._batch(buf, self.batch_size)
 
-    def _batch(self, rows):
+    def _batch(self, rows, batch_size=None):
         md = self.md
-        n, c, s = len(rows), 1 + md.npratio, md.max_sents
+        n = batch_size or len(rows)  # pad the tail to the static batch
+        c, s = 1 + md.npratio, md.max_sents
         e, w, d = md.max_entity, md.max_sentence, self.emb.shape[1]
         out = {
             "titles": np.zeros((n, c, w), np.int64),
@@ -451,7 +466,9 @@ class KIMDataset:
             "clicked_one_hop": np.zeros((n, s, e, e, d), np.float32),
             "labels": np.zeros((n, c), np.float32),
         }
-        out["labels"][:, 0] = 1.0
+        out["labels"][: len(rows), 0] = 1.0
+        out["mask"] = np.zeros((n,), np.float32)
+        out["mask"][: len(rows)] = 1.0
         for i, (clicked, cands) in enumerate(rows):
             for j, nid in enumerate(cands):
                 title, _, vecs, hops = self._news_feats(nid)

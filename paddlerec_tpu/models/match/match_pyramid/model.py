@@ -86,13 +86,9 @@ class ModelDef(ModelDef):
         score = self.module.apply({"params": params}, *self.model_inputs(batch))
         labels = batch["label"].astype(jnp.float32)
         mask = batch.get("mask")
-        import optax
+        from paddlerec_tpu.models.base import binary_logloss
 
-        per = optax.sigmoid_binary_cross_entropy(score, labels)
-        if mask is not None:
-            loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-        else:
-            loss = per.mean()
+        loss = binary_logloss(score, labels, mask)
         aux: Aux = {"predictions": jax.nn.sigmoid(score), "labels": labels}
         if mask is not None:
             aux["mask"] = mask
@@ -145,6 +141,7 @@ class MatchPyramidDataset:
                             "mask": np.ones(bs, np.float32),
                         }
                         left[:] = 0
+                        label[:] = 0
                         right[:] = 0
                         row = 0
         if row:

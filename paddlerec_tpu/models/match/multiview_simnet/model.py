@@ -96,12 +96,17 @@ class ModelDef(ModelDef):
         mask = batch.get("mask")
         per = jnp.maximum(0.0, self.margin - pos + neg)
         if mask is not None:
-            loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            # a rolled negative is only real if ITS source row is valid
+            # too — padded rows' titles are constants, not negatives
+            neg_mask = mask * jnp.roll(mask, shift=1, axis=0)
+            loss = (per * neg_mask).sum() / jnp.maximum(neg_mask.sum(), 1.0)
         else:
+            neg_mask = None
             loss = per.mean()
         aux: Aux = {"sim_pos": pos, "sim_neg": neg[:, None]}
         if mask is not None:
             aux["mask"] = mask
+            aux["neg_mask"] = neg_mask
         return loss, aux
 
     def metric_updates(self, aux):
@@ -111,7 +116,7 @@ class ModelDef(ModelDef):
         labels = jnp.concatenate([jnp.ones_like(pos), jnp.zeros_like(neg)])
         mask = aux.get("mask")
         if mask is not None:
-            mask = jnp.concatenate([mask, mask])
+            mask = jnp.concatenate([mask, aux["neg_mask"]])
         return {"pnr": (preds, labels, mask)}
 
     def make_dataset(self, data_dir: str, batch_size: int, shuffle=False):

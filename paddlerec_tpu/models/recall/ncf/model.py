@@ -33,6 +33,11 @@ class NCFNet(nn.Module):
     @nn.compact
     def __call__(self, users: jnp.ndarray, items: jnp.ndarray):
         outs = []
+        valid = ("NCF_NeuMF", "NCF_GMF", "NCF_MLP")
+        if self.mode not in valid:
+            raise ValueError(
+                f"unknown ncf mode {self.mode!r}; choose one of {valid}"
+            )
         if self.mode in ("NCF_NeuMF", "NCF_GMF"):
             ue = nn.Embed(self.num_users, self.mf_dim, name="mf_user")(users)
             ie = nn.Embed(self.num_items, self.mf_dim, name="mf_item")(items)
