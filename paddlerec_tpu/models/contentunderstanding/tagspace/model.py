@@ -45,6 +45,9 @@ class TagSpaceNet(nn.Module):
 
 
 @register_model("contentunderstanding.tagspace")
+# Metric note: the streaming "auc" this model logs IS the pairwise
+# positive-order ratio (pos/neg sims with 1/0 labels); the reference
+# computes the same quantity offline via tools/cal_pos_neg.py.
 class ModelDef(ModelDef):
     metric_names = ("pnr",)
 
@@ -176,8 +179,12 @@ class TagSpaceDataset:
             "tokens": tokens,
             "seq_mask": seq_mask,
             "pos_tag": pos,
-            "neg_tags": self.rng.randint(
-                0, self.vocab_tag, (bs, self.neg_size)
+            # offset trick guarantees neg != pos (the reference reader
+            # rejection-samples the same invariant)
+            "neg_tags": (
+                (pos[:, None]
+                 + self.rng.randint(1, self.vocab_tag, (bs, self.neg_size)))
+                % self.vocab_tag
             ).astype(np.int32),
             "mask": mask,
         }

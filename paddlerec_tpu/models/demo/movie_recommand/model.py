@@ -164,5 +164,6 @@ def ann_topk(user_vecs: np.ndarray, movie_vecs: np.ndarray, k: int):
     u = u * jax.lax.rsqrt((u**2).sum(-1, keepdims=True) + 1e-12)
     m = m * jax.lax.rsqrt((m**2).sum(-1, keepdims=True) + 1e-12)
     scores = u @ m.T
-    vals, idx = jax.lax.top_k(scores, k)
+    # clamp like VectorIndex.search: k beyond the catalog crashes top_k
+    vals, idx = jax.lax.top_k(scores, min(k, m.shape[0]))
     return np.asarray(vals), np.asarray(idx)

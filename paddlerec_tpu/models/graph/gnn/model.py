@@ -123,14 +123,22 @@ class ModelDef(ModelDef):
         src = feature[:, 0]
         pos = feature[:, 1]
         # in-batch negatives: rolled positives (shuffle_batch analog,
-        # gnn_model.py:186-189)
+        # gnn_model.py:186-189).  Consecutive walk windows repeat dst
+        # nodes, so a rolled row can equal the TRUE positive — mask
+        # those slots out of the loss and metrics instead of training
+        # the positive away from its neighbor
+        pos_ids = batch["pair_nodes"][:, 1]
         negs = [jnp.roll(pos, k + 1, axis=0) for k in range(self.neg_num)]
+        neg_ok = jnp.stack(
+            [jnp.roll(pos_ids, k + 1, axis=0) != pos_ids
+             for k in range(self.neg_num)], axis=1
+        ).astype(jnp.float32)  # (B, neg)
         dsts = jnp.stack([pos] + negs, axis=1)  # (B, 1+neg, E)
         logits = jnp.einsum("be,bne->bn", src, dsts)
 
         if self.loss_type == "hinge":
             loss = jnp.sum(
-                nn.relu(logits[:, 1:] - logits[:, :1] + self.margin)
+                nn.relu(logits[:, 1:] - logits[:, :1] + self.margin) * neg_ok
             )
         elif self.loss_type == "sigmoid":
             import optax
@@ -140,22 +148,29 @@ class ModelDef(ModelDef):
                 -1,
             )
             weight = jnp.concatenate(
-                [jnp.full_like(logits[:, :1], self.neg_num),
-                 jnp.ones_like(logits[:, 1:])],
-                -1,
+                [jnp.full_like(logits[:, :1], self.neg_num), neg_ok], -1
             )
             loss = jnp.sum(
                 optax.sigmoid_binary_cross_entropy(logits, labels) * weight
             )
         else:  # nce (default, loss.py:50-62)
+            # collided negatives contribute exp(-inf) = 0 to the partition
             scaled = logits * self.nce_tao
+            scaled = jnp.concatenate(
+                [scaled[:, :1],
+                 jnp.where(neg_ok > 0, scaled[:, 1:], -1e9)], -1
+            )
             loss = jnp.sum(-jax.nn.log_softmax(scaled, -1)[:, 0])
 
         preds = jax.nn.sigmoid(logits).reshape(-1)
         labels = jnp.concatenate(
             [jnp.ones_like(logits[:, :1]), jnp.zeros_like(logits[:, 1:])], -1
         ).reshape(-1)
-        return loss, {"predictions": preds, "labels": labels}
+        vmask = jnp.concatenate(
+            [jnp.ones_like(logits[:, :1]), neg_ok], -1
+        ).reshape(-1)
+        return loss, {"predictions": preds, "labels": labels,
+                      "mask": vmask}
 
     def make_dataset(self, data_dir, batch_size, shuffle=False):
         files = shard_files(
@@ -203,6 +218,11 @@ class GraphWalkDataset:
         self.md = md
         self.batch_size = batch_size
         self.seed = seed
+        # persistent across epochs: fresh walks each epoch (re-seeding
+        # per __iter__ made every epoch byte-identical) and a one-time
+        # adjacency parse
+        self._rng = np.random.RandomState(seed)
+        self._adj_cache = None
 
     def _adjacency(self):
         adj = {}
@@ -235,8 +255,10 @@ class GraphWalkDataset:
 
     def __iter__(self):
         md = self.md
-        rng = np.random.RandomState(self.seed)
-        adj = self._adjacency()
+        rng = self._rng
+        if self._adj_cache is None:
+            self._adj_cache = self._adjacency()
+        adj = self._adj_cache
         if not adj:
             return
         nodes = list(adj)

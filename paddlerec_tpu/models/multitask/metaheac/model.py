@@ -274,9 +274,13 @@ class _LookalikeDataset:
             if n == 0:
                 continue
             rows = rows[:n]
-            chunk = rows.reshape(-1, 2, t, bs, rows.shape[-1])
+            # task-major pairing: each task's 2*bs consecutive rows stay
+            # together (support then query from the SAME ad) — the old
+            # (-1, 2, t, bs, C) layout paired task i's support with a
+            # different task's query, breaking the meta objective
+            chunk = rows.reshape(-1, t, 2, bs, rows.shape[-1])
             for grp in chunk:
-                spt, qry = grp[0], grp[1]
+                spt, qry = grp[:, 0], grp[:, 1]
 
                 def unpack(g, prefix):
                     return {

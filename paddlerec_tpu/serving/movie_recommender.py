@@ -70,30 +70,40 @@ class RecallService:
 class RankService:
     """rank.py analog: score (user, candidates) with the rank model."""
 
-    def __init__(self, model_def, params):
+    # pad every request to one static batch size: cm.get_many drops
+    # missing ids, so candidate counts vary per uid and each distinct
+    # count would be a fresh multi-second XLA compile in the hot path
+    PAD = 64
+
+    def __init__(self, model_def, params, pad: int = PAD):
         self.model_def = model_def
         self.params = params
-        self._infer = jax.jit(model_def.train_forward)
+        self.pad = pad
+        self._infer = jax.jit(model_def.infer_forward)
 
     def rank(self, user_feed: Dict, movie_feeds: List[Dict]) -> List[float]:
         n = len(movie_feeds)
+        p = ((n + self.pad - 1) // self.pad) * self.pad
+
+        def arr(key, dtype=None, fill=0):
+            a = np.asarray([m[key] for m in movie_feeds])
+            out = np.full((p,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return jnp.asarray(out if dtype is None else out.astype(dtype))
+
         batch = {
-            "user_sparse": jnp.asarray(
-                np.tile(np.asarray(user_feed["user_sparse"])[None], (n, 1))
-            ),
-            "movie_id": jnp.asarray([m["movie_id"] for m in movie_feeds]),
-            "title": jnp.asarray([m["title"] for m in movie_feeds]),
-            "genres": jnp.asarray([m["genres"] for m in movie_feeds]),
-            "title_mask": jnp.asarray(
-                [m["title_mask"] for m in movie_feeds], jnp.float32
-            ),
-            "genre_mask": jnp.asarray(
-                [m["genre_mask"] for m in movie_feeds], jnp.float32
-            ),
-            "label": jnp.zeros((n,), jnp.float32),
+            "user_sparse": jnp.asarray(np.tile(
+                np.asarray(user_feed["user_sparse"])[None], (p, 1)
+            )),
+            "movie_id": arr("movie_id"),
+            "title": arr("title"),
+            "genres": arr("genres"),
+            "title_mask": arr("title_mask", np.float32),
+            "genre_mask": arr("genre_mask", np.float32),
+            "label": jnp.zeros((p,), jnp.float32),
         }
-        _loss, aux = self._infer(self.params, batch)
-        return [float(x) for x in np.asarray(aux["predictions"])]
+        aux = self._infer(self.params, batch)
+        return [float(x) for x in np.asarray(aux["predictions"])[:n]]
 
 
 class ApplicationServer:
