@@ -55,6 +55,7 @@ class Bert4RecNet(nn.Module):
         for i in range(self.n_layer):
             x = TransformerBlock(
                 self.n_head, self.emb_size // self.n_head, 4 * self.emb_size,
+                ffn_activation="gelu",  # reference hidden_act (config.yaml)
                 name=f"encoder_layer_{i}",
             )(x, input_mask)
         # gather masked positions: (B, M, D)
@@ -166,10 +167,12 @@ class Bert4RecDataset:
                         yield self._batch(buf, t, m, mask_id)
                         buf = []
         if buf:
-            yield self._batch(buf, t, m, mask_id)
+            # pad the tail to the static batch (padded rows carry zero
+            # mask_weight, so loss and metrics ignore them)
+            yield self._batch(buf, t, m, mask_id, pad_to=self.batch_size)
 
-    def _batch(self, seqs, t, m, mask_id):
-        n = len(seqs)
+    def _batch(self, seqs, t, m, mask_id, pad_to=None):
+        n = pad_to or len(seqs)
         src = np.zeros((n, t), np.int32)
         imask = np.zeros((n, t), np.float32)
         mpos = np.zeros((n, m), np.int32)

@@ -42,12 +42,21 @@ PROFILE_FIELDS = (
 
 
 class PReLU(nn.Module):
-    """Channel-wise PReLU (paddle.nn.PReLU(num_parameters=C, init=0.1))."""
+    """PReLU with a configurable parameter axis.
+
+    The reference's (B, T, C) activations use
+    paddle.nn.PReLU(num_parameters=history_length) — PER-POSITION alphas
+    along axis 1 (net.py:212-230); 2-D activations are per-channel.
+    ``axis`` selects which axis carries the learned alphas."""
+
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x):
+        ax = self.axis % x.ndim
+        shape = tuple(x.shape[i] if i == ax else 1 for i in range(x.ndim))
         alpha = self.param(
-            "alpha", nn.initializers.constant(0.1), (x.shape[-1],)
+            "alpha", nn.initializers.constant(0.1), shape
         )
         return jnp.where(x >= 0, x, alpha * x)
 
@@ -99,7 +108,7 @@ class DMRNet(nn.Module):
         dm_pos_ctx = jnp.concatenate([dm_pos_his, dm_btag_his_e], -1)
 
         # ---- User-to-Item deep match (net.py:239-303) ----
-        q = PReLU(name="dm_prelu")(
+        q = PReLU(axis=1, name="dm_prelu")(
             nn.Dense(2 * M, name="dm_align")(dm_pos_ctx)
         )
         att_in = jnp.concatenate(
@@ -115,7 +124,7 @@ class DMRNet(nn.Module):
         tiled = jnp.where(causal[None] > 0, tiled, -(2.0**31))
         probs = jax.nn.softmax(tiled, axis=-1)  # (B, T, T)
         att_hist = jnp.einsum("bts,bse->bte", probs, item_his_eb)
-        dnn1 = PReLU(name="dm_fcn_prelu")(
+        dnn1 = PReLU(axis=1, name="dm_fcn_prelu")(
             nn.Dense(M, name="dm_fcn_1")(att_hist)
         )  # (B, T, M)
         user_vector = dnn1[:, -1, :]
@@ -140,7 +149,7 @@ class DMRNet(nn.Module):
 
         # ---- Item-to-Item attention (net.py:305-357) ----
         item_tile = jnp.broadcast_to(item_eb[:, None, :], (b, T, 2 * M))
-        q2 = PReLU(name="dmr_prelu")(
+        q2 = PReLU(axis=1, name="dmr_prelu")(
             nn.Dense(2 * M, name="dmr_align")(
                 jnp.concatenate([item_tile, pos_ctx], -1)
             )
@@ -164,6 +173,10 @@ class DMRNet(nn.Module):
             ],
             -1,
         )
+        # deviation from the reference: BatchNorm(momentum=.99) on this
+        # concat (net.py:378-379) needs mutable batch stats, which the
+        # one-pytree functional step avoids; LayerNorm is the stateless
+        # TPU-native stand-in (documented, affects optimization dynamics)
         inp = nn.LayerNorm(name="inp_norm")(inp)
         h = inp
         for i, d in enumerate((512, 256, 128)):
@@ -308,5 +321,8 @@ class DMRDataset:
             "price": a[:, 5 * T + 14].astype(np.float32),
             "pid": scalars[:, 15],
             "label": a[:, 5 * T + 16].astype(np.float32),
+            "mask": (
+                np.arange(n) < (valid if valid is not None else n)
+            ).astype(np.float32),
             "mask": np.ones(n, np.float32),
         }

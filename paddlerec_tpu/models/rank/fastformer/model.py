@@ -189,7 +189,22 @@ class FastRecommenderNet(nn.Module):
         ).reshape(b, g, self.conv_out)
         sample_emb = vecs[:, : self.sample_size]
         visit_emb = vecs[:, self.sample_size:]
-        user = AdditiveAttention(name="user_attention")(visit_emb)
+        # user tower: Fastformer layers over the browsed-news sequence
+        # (reference net.py:300-441 UserEncoder) — pooling alone dropped
+        # the token mixing the model family is named for
+        t = visit_emb.shape[1]
+        pos = self.param(
+            "user_pos_emb", nn.initializers.normal(0.02),
+            (1, t, self.conv_out),
+        )
+        u = visit_emb + pos
+        ones = jnp.ones(u.shape[:2], u.dtype)
+        for i in range(self.num_layers):
+            u = FastSelfAttention(
+                self.conv_out, self.num_heads,
+                name=f"user_layer_{i}",
+            )(u, ones)
+        user = AdditiveAttention(name="user_attention")(u)
         return jnp.einsum("bsd,bd->bs", sample_emb, user)
 
 

@@ -189,11 +189,20 @@ class NewsRecModelDef(ModelDef):
             {"params": params}, *self.model_inputs(batch)
         )  # (B, S)
         labels = batch["labels"].astype(jnp.float32)
-        loss = -(labels * jax.nn.log_softmax(logits, -1)).sum(-1).mean()
+        per = -(labels * jax.nn.log_softmax(logits, -1)).sum(-1)
+        mask = batch.get("mask")
+        if mask is not None:
+            loss = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        else:
+            loss = per.mean()
         aux: Aux = {
             "predictions": jax.nn.sigmoid(logits).reshape(-1),
             "labels": labels.reshape(-1),
         }
+        if mask is not None:
+            aux["mask"] = jnp.repeat(
+                mask[:, None], logits.shape[1], 1
+            ).reshape(-1)
         return loss, aux
 
     def make_dataset(self, data_dir, batch_size, shuffle=False):
@@ -257,15 +266,26 @@ class NewsDataset:
                         buf = {k: [] for k in keys}
                         n = 0
         if n:
-            yield self._emit(buf)
+            # pad the tail to the static batch (unpadded tails force a
+            # recompile per epoch and desync multi-host collectives);
+            # padded rows carry mask 0
+            yield self._emit(buf, pad_to=bs, valid=n)
 
     @staticmethod
-    def _emit(buf):
+    def _emit(buf, pad_to=None, valid=None):
         out = {}
         for k, vals in buf.items():
             arr = np.stack(vals)
+            if pad_to is not None and len(arr) < pad_to:
+                pad = np.zeros((pad_to - len(arr),) + arr.shape[1:],
+                               arr.dtype)
+                arr = np.concatenate([arr, pad])
             out[k] = (
                 arr.astype(np.float32) if k == "labels"
                 else arr.astype(np.int64)
             )
+        n_rows = len(next(iter(out.values())))
+        out["mask"] = (
+            np.arange(n_rows) < (valid if valid is not None else n_rows)
+        ).astype(np.float32)
         return out

@@ -36,11 +36,23 @@ class XDeepFMNet(nn.Module):
         )
         linear = linear + dense @ dense_w
 
-        cin_out = CIN(list(self.layer_sizes_cin), name="cin")(emb)
+        # dense inputs become extra embedded fields (value × learned
+        # vector, reference net.py:100-119) so CIN crosses dense×sparse
+        dense_emb_w = self.param(
+            "dense_emb_w", nn.initializers.normal(1e-2),
+            (dense.shape[-1], self.embedding_dim),
+        )
+        dense_fields = dense[..., None] * dense_emb_w[None]  # (B, D, E)
+        fields = jnp.concatenate([emb, dense_fields], axis=1)  # (B, S+D, E)
+
+        # reference CIN has no split-half: every layer's full output
+        # feeds forward AND the concat (net.py:123-205)
+        cin_out = CIN(list(self.layer_sizes_cin), split_half=False,
+                      name="cin")(fields)
         cin_logit = nn.Dense(1, name="cin_head")(cin_out)[:, 0]
 
         b = emb.shape[0]
-        feat = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
+        feat = fields.reshape(b, -1)
         dnn_hidden = MLP(list(self.layer_sizes_dnn), name="tower")(feat)
         dnn_logit = nn.Dense(1, name="dnn_head")(dnn_hidden)[:, 0]
 
@@ -52,6 +64,7 @@ class XDeepFMNet(nn.Module):
 class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
+        self.sparse_embed_logical_dim = self.embedding_dim + 1  # fused lane
         self.module = XDeepFMNet(
             self.vocab_size,
             self.embedding_dim,

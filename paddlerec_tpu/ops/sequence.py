@@ -202,6 +202,7 @@ class TransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     ffn_dim: int
+    ffn_activation: str = "relu"
 
     @nn.compact
     def __call__(self, x, mask):  # x: (B, T, D), mask: (B, T)
@@ -217,5 +218,6 @@ class TransformerBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
         out = nn.Dense(d, name="proj")(out)
         x = nn.LayerNorm(name="ln1")(x + out)
-        ffn = nn.Dense(d, name="ffn2")(nn.relu(nn.Dense(self.ffn_dim, name="ffn1")(x)))
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.ffn_activation]
+        ffn = nn.Dense(d, name="ffn2")(act(nn.Dense(self.ffn_dim, name="ffn1")(x)))
         return nn.LayerNorm(name="ln2")(x + ffn)

@@ -35,8 +35,19 @@ def grda(
     """
 
     def init_fn(params):
+        # the reference initializes the dual-averaging accumulator
+        # Uniform(-0.1, 0.1) (autofis/optimizer.py:28-33) — a permanent
+        # per-weight offset that decides which gates the soft threshold
+        # drives to zero.  Deterministic seeded uniform keeps parity
+        # without threading an rng through optax.init.
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(20211015), len(leaves))
+        acc = jax.tree_util.tree_unflatten(treedef, [
+            jax.random.uniform(k, l.shape, l.dtype, -0.1, 0.1)
+            for k, l in zip(keys, leaves)
+        ])
         return GrdaState(
-            accumulator=jax.tree.map(jnp.zeros_like, params),
+            accumulator=acc,
             l1_accumulation=jnp.zeros((), jnp.float32),
             count=jnp.zeros((), jnp.int32),
         )
