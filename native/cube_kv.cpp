@@ -63,14 +63,23 @@ extern "C" int cube_build(const char* path, const long long* keys,
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   Header h{kMagic, (unsigned long long)dim, (unsigned long long)count};
-  fwrite(&h, sizeof(h), 1, f);
+  // every fwrite checked: a full disk must fail the BUILD, not SIGBUS
+  // the serving fleet later
+  if (fwrite(&h, sizeof(h), 1, f) != 1) { fclose(f); return -2; }
   for (long i = 0; i < count; ++i) {
-    fwrite(&keys[order[i]], sizeof(long long), 1, f);
+    if (fwrite(&keys[order[i]], sizeof(long long), 1, f) != 1) {
+      fclose(f);
+      return -2;
+    }
   }
   for (long i = 0; i < count; ++i) {
-    fwrite(values + order[i] * dim, sizeof(float), dim, f);
+    if (fwrite(values + order[i] * dim, sizeof(float), dim, f)
+        != (size_t)dim) {
+      fclose(f);
+      return -2;
+    }
   }
-  fclose(f);
+  if (fclose(f) != 0) return -2;
   return 0;
 }
 
@@ -85,8 +94,16 @@ extern "C" void* cube_open(const char* path) {
   void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
   close(fd);
   if (map == MAP_FAILED) return nullptr;
+  if ((size_t)st.st_size < sizeof(Header)) {
+    munmap(map, st.st_size);
+    return nullptr;
+  }
   auto* header = (const Header*)map;
-  if (header->magic != kMagic) {
+  // a truncated shard must fail at OPEN, not SIGBUS on first lookup
+  size_t need = sizeof(Header)
+      + header->count * sizeof(long long)
+      + header->count * header->dim * sizeof(float);
+  if (header->magic != kMagic || (size_t)st.st_size < need) {
     munmap(map, st.st_size);
     return nullptr;
   }

@@ -148,11 +148,15 @@ extern "C" long frd_parse_file(const char* path, int num_sparse,
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(len);
+  // +1 NUL terminator: strtoll/strtof scan past the last byte when the
+  // final token ends exactly at EOF (files without a trailing newline
+  // are explicitly supported) — unterminated buffers are UB
+  std::vector<char> buf(len + 1);
   if (len > 0 && fread(buf.data(), 1, len, f) != (size_t)len) {
     fclose(f);
     return -2;
   }
+  buf[len] = '\0';
   fclose(f);
   return frd_parse_buffer(buf.data(), len, num_sparse, dense_dim, max_rows,
                           num_threads, labels, sparse, dense);

@@ -83,10 +83,13 @@ class ModelDef(AliCCPModelDef):
             return per.mean()
 
         constraint = jnp.maximum(conv_prob - click_prob, 0.0)
+        # the reference SUMS the constraint (dygraph_model.py:50) while
+        # averaging the BCE terms — averaging here made the funnel
+        # regularizer batch_size× weaker than parity
         if mask is not None:
-            constraint = (constraint * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            constraint = (constraint * mask).sum()
         else:
-            constraint = constraint.mean()
+            constraint = constraint.sum()
         loss = bce(click_prob, click) + bce(conv_prob, conversion) \
             + self.constraint_weight * constraint
         aux = {

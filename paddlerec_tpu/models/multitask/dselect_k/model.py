@@ -229,9 +229,23 @@ class MultiMNISTDataset:
                 x, y = pickle.load(f)
             x = np.asarray(x, np.float32).reshape(-1, 36, 36, 1) / 255.0
             y = np.asarray(y, np.int64).reshape(len(x), -1)[:, :2]
-            for i in range(0, len(x) - bs + 1, bs):
+            for i in range(0, len(x), bs):
+                xi = x[i : i + bs]
+                yi = y[i : i + bs]
+                valid = len(xi)
+                if valid < bs:  # masked partial tail — don't drop rows
+                    xi = np.concatenate(
+                        [xi, np.zeros((bs - valid,) + xi.shape[1:],
+                                      xi.dtype)]
+                    )
+                    yi = np.concatenate(
+                        [yi, np.zeros((bs - valid,) + yi.shape[1:],
+                                      yi.dtype)]
+                    )
+                m = np.zeros(bs, np.float32)
+                m[:valid] = 1.0
                 yield {
-                    "image": x[i : i + bs],
-                    "labels": y[i : i + bs].astype(np.int32),
-                    "mask": np.ones(bs, np.float32),
+                    "image": xi,
+                    "labels": yi.astype(np.int32),
+                    "mask": m,
                 }

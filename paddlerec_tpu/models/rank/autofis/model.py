@@ -34,6 +34,19 @@ from paddlerec_tpu.ops.layers import MLP
 from paddlerec_tpu.train.optimizers import grda
 
 
+def _batch_standardize(x, scale=None, bias=None, eps=1e-5):
+    """Training-mode BatchNorm computation, stateless: per-feature
+    statistics over the batch axis."""
+    mean = x.mean(0, keepdims=True)
+    var = x.var(0, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class AutoFISNet(nn.Module):
     vocab_size: int
     embedding_dim: int
@@ -51,9 +64,19 @@ class AutoFISNet(nn.Module):
         xw = fused[..., self.embedding_dim]  # (B, F) first-order
         first = xw.sum(1)
 
-        h = MLP([self.width] * self.depth, name="bin_mlp")(
-            xv.reshape(xv.shape[0], -1)
-        )
+        # reference bin_mlp interleaves BatchNorm before each ReLU
+        # (net.py use_bn=True); stateless batch-stat normalization (the
+        # training-mode BN computation, no running averages) keeps the
+        # one-pytree functional step
+        h = xv.reshape(xv.shape[0], -1)
+        for i in range(self.depth):
+            h = nn.Dense(self.width, name=f"bin_fc{i}")(h)
+            h = _batch_standardize(h, self.param(
+                f"bin_bn{i}_scale", nn.initializers.ones, (self.width,)
+            ), self.param(
+                f"bin_bn{i}_bias", nn.initializers.zeros, (self.width,)
+            ))
+            h = nn.relu(h)
         h = nn.Dense(1, name="bin_out")(h)[:, 0]
 
         pairs = list(combinations(range(self.num_fields), 2))
@@ -62,8 +85,11 @@ class AutoFISNet(nn.Module):
         left = jnp.asarray([p[0] for p in pairs])
         right = jnp.asarray([p[1] for p in pairs])
         inter = (xv[:, left, :] * xv[:, right, :]).sum(-1)  # (B, P)
-        inter = nn.LayerNorm(use_scale=False, use_bias=False,
-                             name="pair_norm")(inter)
+        # PER-PAIR standardization over the batch (reference
+        # nn.BatchNorm(pairs), scale/bias disabled): LayerNorm across
+        # the pair axis coupled every pair within a sample and changed
+        # which gates GRDA drives to zero
+        inter = _batch_standardize(inter)
         gate = self.param(
             "interaction_mask",
             lambda k, s: jax.random.uniform(k, s, jnp.float32, 0.599, 0.601),
@@ -90,6 +116,7 @@ class ModelDef(CTRModelDef):
         else:
             comb_mask = None
         self.dense_dim = 0
+        self.sparse_embed_logical_dim = self.embedding_dim + 1  # fused lane
         self.module = AutoFISNet(
             self.vocab_size,
             self.embedding_dim,

@@ -22,7 +22,7 @@ from paddlerec_tpu.core.config import Config
 from paddlerec_tpu.core.registry import register_model
 from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
 from paddlerec_tpu.models.base import Aux, ModelDef, binary_logloss
-from paddlerec_tpu.ops.layers import MLP
+from paddlerec_tpu.ops.layers import MLP, TargetAttention
 
 
 class DINNet(nn.Module):
@@ -50,20 +50,13 @@ class DINNet(nn.Module):
         )  # (B, 2E)
         dim = hist.shape[-1]
 
-        # attention: MLP over [h, t, h-t, h*t]
-        t_seq = jnp.broadcast_to(target[:, None, :], hist.shape)
-        att_in = jnp.concatenate(
-            [hist, t_seq, hist - t_seq, hist * t_seq], axis=-1
-        )
-        scores = MLP(
-            list(self.attention_sizes) + [1],
-            activation="sigmoid",
-            output_activation="none",
+        # shared DIN-style attention (ops/layers.py TargetAttention —
+        # the inline copy drifted from the layer DSIN uses)
+        pooled = TargetAttention(
+            hidden_sizes=tuple(self.attention_sizes),
+            scale_scores=True,
             name="attention",
-        )(att_in)[..., 0]  # (B, T)
-        scores = jnp.where(seq_mask > 0, scores, -1e9) * (dim ** -0.5)
-        weights = jax.nn.softmax(scores, axis=-1)
-        pooled = jnp.einsum("bt,btd->bd", weights, hist)  # (B, 2E)
+        )(hist, target, seq_mask)  # (B, 2E)
 
         h = nn.Dense(dim, name="proj")(pooled)
         feat = jnp.concatenate([h, target], axis=-1)

@@ -169,6 +169,14 @@ class ModelDef(ModelDef):
 
     def _graph(self):
         if self._adj is None:
+            if not bool(self.config.hyper("demo_graph", False)):
+                raise RuntimeError(
+                    "MHCN needs the social/rating adjacency: call "
+                    "set_graph(social, rating) before training, or set "
+                    "hyper_parameters.demo_graph: true to train on a "
+                    "random synthetic graph (tests/demos only)"
+                )
+            # explicit demo mode: synthetic 10%-density graph
             rng = np.random.RandomState(0)
             social = (rng.rand(self.num_users, self.num_users) < 0.1).astype(
                 np.float32

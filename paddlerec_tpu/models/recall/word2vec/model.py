@@ -25,13 +25,30 @@ class SkipGramNet(nn.Module):
 
     @nn.compact
     def __call__(self, center, pos, negs):
-        in_emb = nn.Embed(self.vocab_size, self.embedding_dim, name="in_emb")
-        out_emb = nn.Embed(self.vocab_size, self.embedding_dim, name="out_emb")
-        c = in_emb(center)  # (B, E)
+        # reference inits (net.py): input table Uniform(±0.5/dim), output
+        # table zero, plus a per-word output BIAS embedding (zero-init)
+        # added to both logits — without it frequent-word calibration is
+        # impossible and initial logits sit far from 0
+        bound = 0.5 / self.embedding_dim
+        in_emb = nn.Embed(
+            self.vocab_size, self.embedding_dim, name="in_emb",
+            embedding_init=nn.initializers.uniform(scale=2 * bound),
+        )
+        out_emb = nn.Embed(
+            self.vocab_size, self.embedding_dim, name="out_emb",
+            embedding_init=nn.initializers.zeros,
+        )
+        out_bias = nn.Embed(
+            self.vocab_size, 1, name="out_bias",
+            embedding_init=nn.initializers.zeros,
+        )
+        c = in_emb(center) - bound  # uniform(0,2b) - b = uniform(±b)
         p = out_emb(pos)  # (B, E)
         n = out_emb(negs)  # (B, N, E)
-        pos_logit = (c * p).sum(-1)  # (B,)
-        neg_logit = jnp.einsum("be,bne->bn", c, n)  # (B, N)
+        pos_logit = (c * p).sum(-1) + out_bias(pos)[..., 0]  # (B,)
+        neg_logit = (
+            jnp.einsum("be,bne->bn", c, n) + out_bias(negs)[..., 0]
+        )  # (B, N)
         return pos_logit, neg_logit
 
 

@@ -263,6 +263,8 @@ class TargetAttention(nn.Module):
 
     hidden_sizes: Sequence[int] = (80, 40)
     use_softmax: bool = True
+    # DIN scales scores by dim^-0.5 before the softmax (net.py:170)
+    scale_scores: bool = False
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -284,6 +286,8 @@ class TargetAttention(nn.Module):
             param_dtype=self.param_dtype,
             name="att_mlp",
         )(feat)[..., 0]  # (B, T)
+        if self.scale_scores:
+            scores = scores * (history.shape[-1] ** -0.5)
         if self.use_softmax:
             scores = jnp.where(mask > 0, scores, -1e9)
             weights = jax.nn.softmax(scores, axis=-1)

@@ -95,7 +95,9 @@ def test_dselect_k_multimnist_reader(tmp_path):
         pickle.dump((x, y), f)
     md = get_model_class("multitask.dselect_k")(Config({}))
     batches = list(md.make_dataset(str(data), 8))
-    assert len(batches) == 2
+    # 20 rows at bs 8: two full + one masked partial (tail NOT dropped)
+    assert len(batches) == 3
+    assert batches[-1]["mask"].sum() == 4
     assert batches[0]["image"].shape == (8, 36, 36, 1)
     assert batches[0]["image"].max() <= 1.0
     assert batches[0]["labels"].shape == (8, 2)

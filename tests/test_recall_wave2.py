@@ -23,6 +23,7 @@ SMALL = {
         "hyper_parameters.num_heads": 2,
     },
     "recall.mhcn": {
+        "hyper_parameters.demo_graph": True,
         "hyper_parameters.num_users": 30, "hyper_parameters.num_items": 25,
         "hyper_parameters.num_factors": 16,
     },
