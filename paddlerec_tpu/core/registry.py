@@ -88,6 +88,7 @@ def load_model_def(config) -> Any:
 
 def list_models():
     """All registered model names (imports the builtin zoo first)."""
-    import paddlerec_tpu.models  # noqa: F401 — triggers registration
+    from paddlerec_tpu.models import import_all
 
+    import_all()  # importing the package alone registers nothing
     return sorted(_REGISTRY)

@@ -33,7 +33,11 @@ class DCNNet(nn.Module):
         )
         b = emb.shape[0]
         x0 = jnp.concatenate([emb.reshape(b, -1), dense], axis=-1)
-        cross_out = CrossNet(self.cross_num, name="crossnet")(x0)
+        cross_out, cross_l2 = CrossNet(
+            self.cross_num, share_weights=True, return_l2=True,
+            name="crossnet",
+        )(x0)
+        self.sow("intermediates", "cross_l2", cross_l2)
         deep_out = MLP(list(self.fc_sizes), name="tower")(x0)
         final = jnp.concatenate([cross_out, deep_out], axis=-1)
         return nn.Dense(1, name="head")(final)[:, 0]
@@ -53,9 +57,24 @@ class ModelDef(CTRModelDef):
         self.l2_reg_cross = float(config.hyper("l2_reg_cross", 0.0))
 
     def train_forward(self, params, batch):
-        loss, aux = super().train_forward(params, batch)
+        # reference l2_reg_cross penalizes Σ||x ⊙ w||² over layers (the
+        # per-batch product, net.py:117-138), not the raw weight vectors
+        logits, inter = self.module.apply(
+            {"params": params}, *self.model_inputs(batch),
+            mutable=["intermediates"],
+        )
+        import jax as _jax
+
+        from paddlerec_tpu.models.base import binary_logloss
+
+        logits = logits.reshape(-1)
+        labels = batch["label"].reshape(-1).astype(jnp.float32)
+        mask = batch.get("mask")
+        loss = binary_logloss(logits, labels, mask)
         if self.l2_reg_cross:
-            cross = params["crossnet"]
-            l2 = sum(jnp.sum(v * v) for k, v in cross.items() if k.startswith("w"))
-            loss = loss + self.l2_reg_cross * l2
+            (cross_l2,) = inter["intermediates"]["cross_l2"]
+            loss = loss + self.l2_reg_cross * cross_l2
+        aux = {"predictions": _jax.nn.sigmoid(logits), "labels": labels}
+        if mask is not None:
+            aux["mask"] = mask
         return loss, aux

@@ -84,11 +84,30 @@ class RatingVectorDataset:
         bs = self.batch_size
         rows = np.zeros((bs, self.n_items), np.float32)
         i = 0
+
+        def emit_tail():
+            # pad the tail to the static batch (variable shapes break
+            # multi-device batch sharding); rows beyond i are zero and
+            # self-masking (AutoRec loss only counts observed ratings)
+            return {"ratings": rows.copy(),
+                    "mask": (np.arange(bs) < i).astype(np.float32)}
+
+        # two accepted formats:
+        #  * 'idx:rating idx:rating ...' — one user vector per line
+        #  * the reference Netflix TSV 'user \t item \t rating' triples
+        #    (netflix_reader.py:44-66) — aggregated into per-user rows
+        triples = {}
         for path in self.files:
             with open(path) as f:
                 for line in f:
                     toks = line.split()
                     if not toks:
+                        continue
+                    if ":" not in toks[0]:
+                        if len(toks) >= 3:  # reference TSV triple
+                            u, it, r = int(toks[0]), int(toks[1]), float(toks[2])
+                            if 0 <= it < self.n_items:
+                                triples.setdefault(u, []).append((it, r))
                         continue
                     for t in toks:
                         idx, _, r = t.partition(":")
@@ -97,8 +116,18 @@ class RatingVectorDataset:
                             rows[i, j] = float(r)
                     i += 1
                     if i == bs:
-                        yield {"ratings": rows.copy()}
+                        yield {"ratings": rows.copy(),
+                               "mask": np.ones(bs, np.float32)}
                         rows[:] = 0
                         i = 0
+        for u in sorted(triples):
+            for it, r in triples[u]:
+                rows[i, it] = r
+            i += 1
+            if i == bs:
+                yield {"ratings": rows.copy(),
+                       "mask": np.ones(bs, np.float32)}
+                rows[:] = 0
+                i = 0
         if i:
-            yield {"ratings": rows[:i].copy()}
+            yield emit_tail()

@@ -51,23 +51,39 @@ class DIFMNet(nn.Module):
         )
         out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+        # W_Res residual projection (reference net.py:262)
+        out = out + nn.Dense(h * hd, use_bias=False, name="w_res")(emb)
         m_vec = nn.Dense(1, name="vec_head")(out.reshape(b, s, -1))[..., 0]
 
         # bit-wise FEN: DNN over flattened embeddings
         bits = MLP(list(self.fen_sizes), name="bit_fen")(emb.reshape(b, -1))
         m_bit = nn.Dense(s, name="bit_head")(bits)
 
-        m = m_vec + m_bit  # (B, S) input-aware factors
+        # reference normalizes the input-aware factors with a softmax
+        # over fields (net.py:340) — unnormalized sums can flip signs
+        m = jax.nn.softmax(m_vec + m_bit, axis=-1) * s  # (B, S)
         first = (w1 * m).sum(axis=1)
-        second = fm_second_order(emb * m[..., None])
+        # dense joins as extra FM fields (reference FENLayer builds
+        # sparse_field_num+1 fields including dense)
+        dense_emb_w = self.param(
+            "dense_emb_w", nn.initializers.normal(1e-2),
+            (dense.shape[-1], self.embedding_dim),
+        )
+        dense_fields = dense[..., None] * dense_emb_w[None]
+        dense_w = self.param(
+            "dense_w", nn.initializers.normal(1e-4), (dense.shape[-1],)
+        )
+        fields = jnp.concatenate([emb * m[..., None], dense_fields], 1)
+        second = fm_second_order(fields)
         bias = self.param("bias", nn.initializers.zeros, ())
-        return first + second + bias
+        return first + dense @ dense_w + second + bias
 
 
 @register_model("rank.difm")
 class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
+        self.sparse_embed_logical_dim = self.embedding_dim + 1  # fused lane
         self.module = DIFMNet(
             self.vocab_size,
             self.embedding_dim,

@@ -26,30 +26,41 @@ class FATDeepFFMNet(nn.Module):
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
-        s, e = self.num_fields, self.embedding_dim
-        # field-aware factors: (B, S, S*E) → (B, S_i, S_f, E)
+        s, e, d = self.num_fields, self.embedding_dim, dense.shape[-1]
+        f = s + d  # reference runs over sparse AND dense fields (39)
+        # field-aware factors: (B, S, F*E) → (B, S_i, F_f, E)
         emb = SlotEmbedding(
-            self.vocab_size, s * e, packed=False, name="embedding"
+            self.vocab_size, f * e, packed=False, name="embedding"
         )(sparse_ids)
         b = emb.shape[0]
-        v = emb.reshape(b, s, s, e)
+        v_sparse = emb.reshape(b, s, f, e)
+        dense_fw = self.param(
+            "dense_field_emb", nn.initializers.normal(1e-2), (d, f, e)
+        )
+        v = jnp.concatenate(
+            [v_sparse, dense[..., None, None] * dense_fw[None]], axis=1
+        )  # (B, F, F, E)
 
-        iu, ju = jnp.triu_indices(s, k=1)
-        inter = v[:, iu, ju, :] * v[:, ju, iu, :]  # (B, P, E) FFM interactions
+        # CENet: attention over ALL F² field-aware embeddings BEFORE the
+        # interaction, squeeze = MAX over E (reference AdaptiveMaxPool1D,
+        # net.py:221-222) — mean-squeezing post-interaction products
+        # averaged away max-responsive features and gave each pair a
+        # single weight instead of a_ij·a_ji
+        z = v.max(axis=-1).reshape(b, f * f)  # (B, F²)
+        a = nn.relu(nn.Dense(max(f * f // self.reduction, 1),
+                             name="ce_1")(z))
+        a = nn.relu(nn.Dense(f * f, name="ce_2")(a))  # (B, F²)
+        v_att = v * a.reshape(b, f, f, 1)
 
-        # CENet field attention over interaction pairs
-        p = inter.shape[1]
-        z = inter.mean(axis=-1)  # squeeze (B, P)
-        a = nn.relu(nn.Dense(max(p // self.reduction, 1), name="ce_1")(z))
-        a = nn.relu(nn.Dense(p, name="ce_2")(a))  # excitation (B, P)
-        attended = inter * a[..., None]
-
-        ffm_logit = attended.sum(axis=(1, 2))
-        dnn_in = jnp.concatenate([attended.reshape(b, -1), dense], axis=-1)
+        # first order = sum over all attended embeddings (net.py:221-222)
+        first = v_att.sum(axis=(1, 2, 3))
+        iu, ju = jnp.triu_indices(f, k=1)
+        inter = v_att[:, iu, ju, :] * v_att[:, ju, iu, :]  # (B, P, E)
+        dnn_in = inter.reshape(b, -1)
         hidden = MLP(list(self.fc_sizes), name="tower")(dnn_in)
         deep = nn.Dense(1, name="head")(hidden)[:, 0]
         bias = self.param("bias", nn.initializers.zeros, ())
-        return ffm_logit + deep + bias
+        return first + deep + bias
 
 
 @register_model("rank.fat_deepffm")

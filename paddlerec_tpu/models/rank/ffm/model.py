@@ -27,24 +27,32 @@ class FFMNet(nn.Module):
 
     @nn.compact
     def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
-        s, e = self.num_fields, self.embedding_dim
-        # field-aware factors: (B, S, S*E) → (B, S_i, S_f, E)
+        s, e, d = self.num_fields, self.embedding_dim, dense.shape[-1]
+        f = s + d  # total fields — reference runs FFM over sparse AND
+        # dense fields (39 on criteo; dygraph_model passes 26+13)
+        # field-aware factors: (B, S, F*E) → (B, S_i, F, E)
         emb = SlotEmbedding(
-            self.vocab_size, s * e, packed=False, name="embedding"
+            self.vocab_size, f * e, packed=False, name="embedding"
         )(sparse_ids)
         b = emb.shape[0]
-        v = emb.reshape(b, s, s, e)
+        v_sparse = emb.reshape(b, s, f, e)
+        # dense field-aware embeddings: value × (D, F, E) table
+        dense_fw = self.param(
+            "dense_field_emb", nn.initializers.normal(1e-2), (d, f, e)
+        )
+        v_dense = dense[..., None, None] * dense_fw[None]  # (B, D, F, E)
+        v = jnp.concatenate([v_sparse, v_dense], axis=1)  # (B, F, F, E)
         # first order
         first = SlotEmbedding(
             self.vocab_size, 1, init_stddev=1e-4, name="first_weight"
         )(sparse_ids)[..., 0].sum(axis=1)
         dense_w = self.param(
-            "dense_w", nn.initializers.normal(1e-4), (dense.shape[-1],)
+            "dense_w", nn.initializers.normal(1e-4), (d,)
         )
         first = first + dense @ dense_w
-        # Σ_{i<j} <v[i, j], v[j, i]> : full S×S dot matrix, keep upper tri
-        dots = jnp.einsum("bije,bjie->bij", v, v)  # (B, S, S)
-        iu = jnp.triu(jnp.ones((s, s)), k=1)
+        # Σ_{i<j} <v[i, j], v[j, i]> : full F×F dot matrix, keep upper tri
+        dots = jnp.einsum("bije,bjie->bij", v, v)  # (B, F, F)
+        iu = jnp.triu(jnp.ones((f, f)), k=1)
         second = (dots * iu).sum(axis=(1, 2))
         bias = self.param("bias", nn.initializers.zeros, ())
         return first + second + bias

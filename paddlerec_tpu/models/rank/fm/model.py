@@ -26,15 +26,25 @@ class FMNet(nn.Module):
         )(sparse_ids)
         emb = fused[..., : self.embedding_dim]
         first = fused[..., self.embedding_dim].sum(axis=1)
+        # reference embeds dense as extra FM fields (net.py:107-128):
+        # value × learned vector joins the sum-square interaction, and
+        # the first-order dense weight is Constant(1.0)-initialized
         dense_w = self.param(
-            "dense_w", nn.initializers.normal(1e-4), (dense.shape[-1],)
+            "dense_w", nn.initializers.ones, (dense.shape[-1],)
         )
+        dense_emb_w = self.param(
+            "dense_emb_w", nn.initializers.normal(1e-2),
+            (dense.shape[-1], self.embedding_dim),
+        )
+        dense_fields = dense[..., None] * dense_emb_w[None]  # (B, D, E)
+        fields = jnp.concatenate([emb, dense_fields], axis=1)
         bias = self.param("bias", nn.initializers.zeros, ())
-        return first + dense @ dense_w + fm_second_order(emb) + bias
+        return first + dense @ dense_w + fm_second_order(fields) + bias
 
 
 @register_model("rank.fm")
 class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
+        self.sparse_embed_logical_dim = self.embedding_dim + 1  # fused lane
         self.module = FMNet(self.vocab_size, self.embedding_dim)

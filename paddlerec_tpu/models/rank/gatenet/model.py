@@ -2,7 +2,8 @@
 
 Parity target: reference models/rank/gatenet/net.py — per-field scalar
 embedding-gate weight (emb·w → sigmoid → scale emb) and per-layer hidden
-gate (h ⊙ sigmoid(h W_g)).
+gate (tanh(h W_g), reference net.py:116 uses tanh for the
+hidden gate; the embedding gate stays sigmoid).
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ class GateNet(nn.Module):
                     nn.initializers.normal(1.0 / jnp.sqrt(size)),
                     (size, size),
                 )
-                x = x * nn.sigmoid(x @ g)
+                x = x * jnp.tanh(x @ g)  # reference: tanh hidden gate
         return nn.Dense(
             1,
             kernel_init=nn.initializers.normal(1.0 / jnp.sqrt(x.shape[-1])),

@@ -131,19 +131,45 @@ class CrossNet(nn.Module):
     """
 
     num_layers: int
+    # the reference DCN shares ONE (layer_w, layer_b) across all cross
+    # layers (net.py:117-138); per-layer params are the DCN-paper
+    # variant — reference parity uses share_weights=True
+    share_weights: bool = False
+    # when True, also return Σ_layers ||x ⊙ w||² — the reference's
+    # l2_reg_cross penalizes the per-batch PRODUCT, not the raw weights
+    return_l2: bool = False
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x0: jnp.ndarray):
         d = x0.shape[-1]
         x = x0
-        for i in range(self.num_layers):
-            w = self.param(
-                f"w_{i}", nn.initializers.normal(1.0 / jnp.sqrt(d)), (d,), self.param_dtype
+        if self.share_weights:
+            w_shared = self.param(
+                "layer_w", nn.initializers.normal(1.0 / jnp.sqrt(d)), (d,),
+                self.param_dtype,
             )
-            b = self.param(f"b_{i}", nn.initializers.zeros, (d,), self.param_dtype)
+            b_shared = self.param(
+                "layer_b", nn.initializers.zeros, (d,), self.param_dtype
+            )
+        l2 = 0.0
+        for i in range(self.num_layers):
+            if self.share_weights:
+                w, b = w_shared, b_shared
+            else:
+                w = self.param(
+                    f"w_{i}", nn.initializers.normal(1.0 / jnp.sqrt(d)),
+                    (d,), self.param_dtype,
+                )
+                b = self.param(
+                    f"b_{i}", nn.initializers.zeros, (d,), self.param_dtype
+                )
             xw = (x * w).sum(axis=-1, keepdims=True)  # (B, 1)
+            if self.return_l2:
+                l2 = l2 + jnp.sum((x * w) ** 2)
             x = x0 * xw + b + x
+        if self.return_l2:
+            return x, l2
         return x
 
 
