@@ -46,8 +46,14 @@ def init_auc_state(num_buckets: int = NUM_BUCKETS) -> MetricState:
         "prob_c": jnp.zeros((), jnp.float32),
         "q": jnp.zeros((), jnp.float32),
         "q_c": jnp.zeros((), jnp.float32),
-        "pos_ins": jnp.zeros((), jnp.int32),
-        "total_ins": jnp.zeros((), jnp.int32),
+        # instance counters are Kahan-compensated float32 pairs: a plain
+        # int32 wraps negative past 2.1B instances in one metric window
+        # (a full 1TB-Criteo epoch is ~4.4B); the (total, comp) pair keeps
+        # integer increments <= 2^24 accurate to ~2^48 and stays psum-able
+        "pos_ins": jnp.zeros((), jnp.float32),
+        "pos_ins_c": jnp.zeros((), jnp.float32),
+        "total_ins": jnp.zeros((), jnp.float32),
+        "total_ins_c": jnp.zeros((), jnp.float32),
     }
 
 
@@ -99,6 +105,14 @@ def update_auc_state(
         state["prob"], state["prob_c"], jnp.sum(preds * mask)
     )
     qs, q_c = _kahan_add(state["q"], state["q_c"], jnp.sum(q * mask))
+    pos_ins, pos_ins_c = _kahan_add(
+        state["pos_ins"], state["pos_ins_c"],
+        jnp.sum(pos_i).astype(jnp.float32),
+    )
+    total_ins, total_ins_c = _kahan_add(
+        state["total_ins"], state["total_ins_c"],
+        jnp.sum(jnp.round(mask)).astype(jnp.float32),
+    )
     return {
         "stat_pos": stat_pos,
         "stat_neg": stat_neg,
@@ -110,9 +124,10 @@ def update_auc_state(
         "prob_c": prob_c,
         "q": qs,
         "q_c": q_c,
-        "pos_ins": state["pos_ins"] + jnp.sum(pos_i),
-        "total_ins": state["total_ins"] + jnp.sum(jnp.round(mask)
-                                                  .astype(jnp.int32)),
+        "pos_ins": pos_ins,
+        "pos_ins_c": pos_ins_c,
+        "total_ins": total_ins,
+        "total_ins_c": total_ins_c,
     }
 
 
@@ -181,8 +196,9 @@ def compute_metrics(state: MetricState) -> Dict[str, float]:
     mean_q, total_ins — the reference's `get_global_metrics` output list.
     """
     host = jax.tree.map(np.asarray, state)
-    total = float(host["total_ins"])
-    pos_ins = float(host["pos_ins"])
+    # Kahan pairs: comp holds the rounding excess, true sum = total - comp
+    total = float(host["total_ins"]) - float(host.get("total_ins_c", 0.0))
+    pos_ins = float(host["pos_ins"]) - float(host.get("pos_ins_c", 0.0))
     out = {
         "auc": auc_from_buckets(host["stat_pos"], host["stat_neg"]),
         "bucket_error": bucket_error(host["stat_pos"], host["stat_neg"]),

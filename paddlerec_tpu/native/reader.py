@@ -60,21 +60,32 @@ class NativeSlotDataset:
 
     def __init__(self, files: Sequence[str], num_sparse: int, dense_dim: int,
                  batch_size: int, drop_last: bool = True,
-                 num_threads: int = 8):
+                 num_threads: int = 8, shuffle_files: bool = False,
+                 seed: int = 0):
         self.files = list(files)
         self.num_sparse = num_sparse
         self.dense_dim = dense_dim
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_threads = num_threads
+        self.shuffle_files = shuffle_files
+        self.seed = seed
+        self._epoch = 0
 
     def __iter__(self):
         bs = self.batch_size
+        files = list(self.files)
+        if self.shuffle_files:
+            # seeded + epoch-bumped, mirroring SlotDataset: each epoch
+            # draws a fresh permutation, identical across restarts
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(files)
+        self._epoch += 1
         # carry partial batches across file boundaries (the Python
         # SlotDataset buffers the same way; dropping per-file remainders
         # silently discarded files smaller than the batch size)
         rem = None
-        for path in self.files:
+        for path in files:
             labels, sparse, dense = parse_file(
                 path, self.num_sparse, self.dense_dim, self.num_threads
             )

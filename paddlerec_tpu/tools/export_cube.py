@@ -39,7 +39,10 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
             return
         if not hasattr(node, "shape") or len(getattr(node, "shape", ())) != 2:
             return
-        if not any(EMBEDDING_PARAM_NAME in str(p) for p in path):
+        # exact path-component match: a substring test would also pick up
+        # the all-zero 'embedding_delta' grad-tap param under sparse_update
+        # and export it as a spurious zero-valued cube table
+        if not any(str(p) == EMBEDDING_PARAM_NAME for p in path):
             return
         arr = np.asarray(node)
         name = "/".join(path)

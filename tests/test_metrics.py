@@ -125,21 +125,29 @@ def test_ranking_metrics():
 
 
 def test_counters_exact_past_float32_limit():
-    """Instance counters must keep incrementing past 2^24 (float32
-    counters silently saturate there — one full-Criteo epoch overflows)."""
+    """Instance counters must keep incrementing past 2^24 (a naive
+    float32 counter silently saturates there — one full-Criteo epoch
+    overflows) AND past 2^31 (an int32 wraps negative at 2.1B; a 1TB
+    Criteo epoch is ~4.4B instances).  Kahan float32 pairs cover both."""
     import jax.numpy as jnp
 
     from paddlerec_tpu.core import metrics as metrics_lib
 
     state = metrics_lib.init_auc_state()
-    assert state["total_ins"].dtype == jnp.int32
-    state = dict(state, total_ins=jnp.asarray(2**24, jnp.int32),
+    state = dict(state, total_ins=jnp.asarray(2.0**24, jnp.float32),
                  stat_pos=state["stat_pos"].at[100].set(2**24))
     preds = jnp.full((64,), 100.5 / state["stat_pos"].shape[0])
     labels = jnp.ones((64,))
     state = metrics_lib.update_auc_state(state, preds, labels)
-    assert int(state["total_ins"]) == 2**24 + 64
+    assert int(state["total_ins"]) - int(state["total_ins_c"]) == 2**24 + 64
     assert int(state["stat_pos"][100]) == 2**24 + 64
+    # past the int32 limit: the Kahan pair keeps exact integer resolution
+    state = dict(state, total_ins=jnp.asarray(5.0e9, jnp.float32),
+                 total_ins_c=jnp.zeros((), jnp.float32))
+    for _ in range(4):
+        state = metrics_lib.update_auc_state(state, preds, labels)
+    got = float(state["total_ins"]) - float(state["total_ins_c"])
+    assert got == 5.0e9 + 4 * 64, got
 
 
 def test_kahan_sums_stay_accurate():
