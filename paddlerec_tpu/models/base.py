@@ -169,6 +169,52 @@ class ModelDef:
         uniq, slot = host_dedup(self.sparse_update_ids(batch), vocab, pack)
         return dict(batch, sparse_uniq=uniq, sparse_slot=slot)
 
+    def global_dedup_arrays(self, batch: Batch):
+        """Multi-host dp analog of augment_batch_host: dedup the GLOBAL
+        batch's physical rows so the compact row update stays exact when
+        each process only holds its own dp shard.
+
+        Every process allgathers the per-host physical row ids (one
+        int32 per lookup position — the cheap piece; vectors never move)
+        and runs the same np.unique, so the returned (uniq, slot) arrays
+        are bit-identical on all hosts and ship as REPLICATED device
+        arrays.  ``slot`` indexes the global flattened position order =
+        process-major concatenation, matching how per-host batch shards
+        concatenate into the global dp-sharded batch.
+
+        MUST be called from the trainer's main thread AFTER the has-next
+        sync: it issues a collective (process_allgather), and hosts have
+        to reach it in lockstep.
+
+        Parity: the reference's sync-PS semantics — one summed update
+        per key per step across all workers (program_helper.py:38-40) —
+        not async-PS (each worker updating independently).
+        """
+        if not self.sparse_update_enabled():
+            return None
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+        from paddlerec_tpu.ops.sparse_update import SENTINEL
+
+        vocab = int(self.config.hyper("sparse_feature_number", 1000001))
+        dim = int(getattr(
+            self, "sparse_embed_logical_dim",
+            int(self.config.hyper("sparse_feature_dim", 9)),
+        ))
+        pack = 128 // sub_width(dim)
+        phys_local = (
+            (np.asarray(self.sparse_update_ids(batch)).reshape(-1) % vocab)
+            // pack
+        ).astype(np.int32)
+        gathered = multihost_utils.process_allgather(phys_local)
+        phys_global = np.asarray(gathered).reshape(-1)
+        uniq_vals, slot = np.unique(phys_global, return_inverse=True)
+        uniq = np.full(phys_global.size, SENTINEL, np.int32)
+        uniq[: len(uniq_vals)] = uniq_vals
+        return uniq, slot.reshape(-1).astype(np.int32)
+
     def clip_grads(self, grads: Any):
         """One global-norm clip over the FULL grads tree (reference
         ClipGradByGlobalNorm semantics) — used by the trainer for
@@ -403,6 +449,10 @@ class CTRModelDef(ModelDef):
         cfg = self.config
         max_bs = max(int(cfg.runner("train_batch_size", 512)),
                      int(cfg.runner("infer_batch_size", 512)))
+        # multi-host dp: each process contributes batch_size rows, so the
+        # module (which sees GLOBAL shapes under pjit) needs capacity for
+        # process_count * batch_size positions
+        max_bs *= max(jax.process_count(), 1)
         return {
             "external_update": True,
             "delta_capacity": int(cfg.hyper(

@@ -176,9 +176,17 @@ class Trainer:
         # models with stochastic layers (L0 gates, dropout) take a per-step
         # rng derived from the global seed + step counter
         stochastic = bool(getattr(model_def, "stochastic", False))
+        sparse_clip = bool(
+            getattr(model_def, "sparse_update_enabled", lambda: False)()
+            and hasattr(model_def, "clip_grads")
+        )
         base_key = jax.random.PRNGKey(int(self.config.runner("seed", 2023)))
 
         def train_step(state: TrainState, batch, metric_state):
+            from paddlerec_tpu.data.wire import decode_batch
+
+            batch = decode_batch(batch)  # no-op unless wire-encoded
+
             def loss_fn(params):
                 if stochastic:
                     rng = jax.random.fold_in(base_key, state.step)
@@ -188,8 +196,12 @@ class Trainer:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            if state.extra is not None:
-                # one shared global-norm clip for dense AND row-wise
+            if state.extra is not None or sparse_clip:
+                # one shared global-norm clip for dense AND row-wise.
+                # sparse_clip covers sparse_update configs whose model has
+                # no tapped tables (extra is None): create_optimizer skips
+                # the optax clip chain whenever sparse_update is on, so
+                # without this the clip would be silently dropped.
                 grads = model_def.clip_grads(grads)
             state = state.apply_gradients(grads)
             if state.extra is not None:
@@ -211,6 +223,9 @@ class Trainer:
         use_auc = self.use_auc
 
         def infer_step(state: TrainState, batch, metric_state):
+            from paddlerec_tpu.data.wire import decode_batch
+
+            batch = decode_batch(batch)
             aux = model_def.infer_forward(state.params, batch)
             if use_auc:
                 metric_state = self._update_metrics(metric_state, aux)
@@ -234,7 +249,26 @@ class Trainer:
         schema = schema_from_config(self.config)
         files = list_data_files(data_dir)
         files = shard_files(files, jax.process_index(), jax.process_count())
-        if str(self.config.runner("reader_type", "")).lower() == "native":
+        reader_type = str(self.config.runner("reader_type", "")).lower()
+        from paddlerec_tpu.data.binary import BinarySlotDataset, is_slotbin
+
+        bin_files = [f for f in files if f.endswith(".bin")]
+        if reader_type == "binary" or (
+            reader_type == "" and bin_files and is_slotbin(bin_files[0])
+        ):
+            # converted slotbin data (tools/dataset_convert): mmap views,
+            # zero parse work on the hot path
+            return BinarySlotDataset(
+                bin_files or files,
+                batch_size,
+                drop_last=drop_last,
+                shuffle_files=bool(shuffle),
+                shuffle_batches=bool(
+                    self.config.runner("shuffle_batches", False)
+                ),
+                seed=int(self.config.runner("seed", 2023)),
+            )
+        if reader_type == "native":
             # C++ thread-pool parser (the QueueDataset analog); falls back
             # to the Python reader when no toolchain is available
             from paddlerec_tpu.native import NativeUnavailable
@@ -248,6 +282,8 @@ class Trainer:
                     batch_size=batch_size,
                     drop_last=drop_last,
                     num_threads=int(self.config.runner("reader_threads", 8)),
+                    shuffle_files=bool(shuffle),
+                    seed=int(self.config.runner("seed", 2023)),
                 )
             except NativeUnavailable as e:
                 logger.warning(f"native reader unavailable ({e}); "
@@ -261,21 +297,37 @@ class Trainer:
             seed=int(self.config.runner("seed", 2023)),
         )
 
+    def _wire_encode(self, dataset):
+        """Optional compact wire encoding (runner.wire_format: compact):
+        shrinks host→device bytes ~1.6x; decoded inside the jitted step."""
+        if str(self.config.runner("wire_format", "")).lower() != "compact":
+            return dataset
+        from paddlerec_tpu.data.wire import encode_batch
+
+        vocab = int(self.config.hyper("sparse_feature_number", 0))
+        return (encode_batch(b, vocab) for b in dataset)
+
     def _device_batches(self, dataset) -> Iterable:
-        if hasattr(self.model_def, "augment_batch_host"):
-            md = self.model_def
-            if (jax.process_count() > 1
-                    and getattr(md, "sparse_update_enabled", bool)()):
-                # per-host dedup arrays would be dp-sharded while the
-                # row update expects the GLOBAL batch's rows — not
-                # supported yet; fail loudly instead of corrupting
-                raise NotImplementedError(
-                    "sparse_update is single-process for now (per-host "
-                    "dedup does not compose with multi-host dp batches)"
-                )
+        md = self.model_def
+        multi = jax.process_count() > 1
+        # multi-host + sparse_update: the per-host dedup of
+        # augment_batch_host would be dp-sharded while the row update
+        # expects the GLOBAL batch's unique rows; instead every host
+        # computes the same global dedup (allgather of the cheap int32
+        # row ids) in the main thread — see ModelDef.global_dedup_arrays
+        sparse_global = bool(
+            multi
+            and hasattr(md, "global_dedup_arrays")
+            and getattr(md, "sparse_update_enabled", lambda: False)()
+        )
+        if hasattr(md, "augment_batch_host") and not sparse_global:
             raw = dataset
             dataset = (md.augment_batch_host(b) for b in raw)
-        if jax.process_count() > 1:
+        if not sparse_global:
+            # (with sparse_global the ids must stay decodable on the
+            # host for the dedup; wire packing is skipped)
+            dataset = self._wire_encode(dataset)
+        if multi:
             # each process reads its own file shard; its host-local batch
             # becomes that host's slice of the global dp-sharded array
             # (device_put would demand identical values on every process)
@@ -284,7 +336,6 @@ class Trainer:
 
             from paddlerec_tpu.parallel.sharding import DP_AXIS
 
-            spec = P(DP_AXIS)
             it = PrefetchIterator(iter(dataset), depth=4)
             while True:
                 try:
@@ -300,9 +351,23 @@ class Trainer:
                 )
                 if int(np.min(flags)) == 0:
                     return
-                yield multihost_utils.host_local_array_to_global_array(
-                    batch, self.mesh, spec
-                )
+                if sparse_global:
+                    ded = md.global_dedup_arrays(batch)
+                    specs = {k: P(DP_AXIS) for k in batch}
+                    if ded is not None:
+                        # global-sized, bit-identical on every host →
+                        # replicated (the row update reads them whole)
+                        batch = dict(batch, sparse_uniq=ded[0],
+                                     sparse_slot=ded[1])
+                        specs["sparse_uniq"] = P()
+                        specs["sparse_slot"] = P()
+                    yield multihost_utils.host_local_array_to_global_array(
+                        batch, self.mesh, specs
+                    )
+                else:
+                    yield multihost_utils.host_local_array_to_global_array(
+                        batch, self.mesh, P(DP_AXIS)
+                    )
             return
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
