@@ -1,6 +1,18 @@
 """Benchmark: DeepFM training throughput on Criteo-shaped data.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"disk_fed_ips": ..., "feed_link_MBps": ...}.
+
+Two numbers are measured:
+  * value (headline) — the device step rate on device-resident batches
+    (what the chip computes when fed);
+  * disk_fed_ips — end-to-end training from ON-DISK slotbin data through
+    the full input pipeline (mmap read → compact wire encode → staged
+    superbatch transfer → on-device slice+decode).  On this environment
+    the host→device link is a ~50 MB/s tunnel (feed_link_MBps measures
+    it), which caps any host-fed rate; on direct-attached TPU hosts
+    (PCIe, ~100x this link) the same pipeline feeds the full device
+    rate — the host side sustains >2M rows/s (doc/benchmark.md).
 
 Baseline: the reference's published DeepFM repro — batch 512, 1 epoch of
 full Criteo (~45.8M rows) in ≈2 h on one device
@@ -8,6 +20,10 @@ full Criteo (~45.8M rows) in ≈2 h on one device
 """
 
 import json
+import os
+import queue
+import tempfile
+import threading
 import time
 
 import jax
@@ -16,22 +32,24 @@ import numpy as np
 
 REFERENCE_IPS = 45_840_617 / (2 * 3600.0)  # ≈ 6366 examples/s
 
+BATCH = 8192
+VOCAB = 1_000_001
+SUPER_K = 16
 
-def main():
+
+def build(model_rng=0):
     from paddlerec_tpu.core.config import Config
     from paddlerec_tpu.core import metrics as metrics_lib
     from paddlerec_tpu.core.registry import get_model_class
-    from paddlerec_tpu.data.synthetic import synthetic_batch
+    from paddlerec_tpu.data.wire import decode_batch
     from paddlerec_tpu.train.state import TrainState
 
-    batch_size = 8192
-    vocab = 1_000_001
     cfg = Config(
         {
             "hyper_parameters.optimizer.class": "Adam",
             "hyper_parameters.optimizer.learning_rate": 0.001,
             "hyper_parameters.sparse_inputs_slots": 27,
-            "hyper_parameters.sparse_feature_number": vocab,
+            "hyper_parameters.sparse_feature_number": VOCAB,
             "hyper_parameters.sparse_feature_dim": 9,
             "hyper_parameters.dense_input_dim": 13,
             "hyper_parameters.fc_sizes": [512, 256, 128, 32],
@@ -41,55 +59,143 @@ def main():
         }
     )
     model_def = get_model_class("rank.deepfm")(cfg)
-    params = model_def.init_params(jax.random.PRNGKey(0))
-    tx = model_def.create_optimizer()
-    state = TrainState.create(params, tx)
+    params = model_def.init_params(jax.random.PRNGKey(model_rng))
+    state = TrainState.create(params, model_def.create_optimizer())
     metric_state = metrics_lib.init_auc_state()
 
     def train_step(state, batch, metric_state):
+        batch = decode_batch(batch)
+
         def loss_fn(p):
             return model_def.train_forward(p, batch)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         state = state.apply_gradients(grads)
         metric_state = metrics_lib.update_auc_state(
             metric_state, aux["predictions"], aux["labels"]
         )
         return state, metric_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 2))
+    def super_step(state, sb, i, metric_state):
+        batch = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+            sb,
+        )
+        return train_step(state, batch, metric_state)
+
+    return (
+        state,
+        metric_state,
+        jax.jit(train_step, donate_argnums=(0, 2)),
+        jax.jit(super_step, donate_argnums=(0, 3)),
+    )
+
+
+def bench_synthetic(state, metric_state, step):
+    """Device-resident batches: the compute capability of the chip."""
+    from paddlerec_tpu.data.synthetic import synthetic_batch
 
     rng = np.random.RandomState(0)
     batches = [
         jax.device_put(
-            jax.tree.map(
-                jnp.asarray, synthetic_batch(rng, batch_size, vocab=vocab)
-            )
+            jax.tree.map(jnp.asarray, synthetic_batch(rng, BATCH, vocab=VOCAB))
         )
         for _ in range(8)
     ]
-
     # warmup / compile.  NOTE: under the axon tunnel block_until_ready is a
     # no-op; a host readback (float()) is the only honest sync point.
     state, metric_state, loss = step(state, batches[0], metric_state)
     _ = float(loss)
-
-    # measure tunnel round-trip to subtract from the loop timing
     rtts = []
     for _i in range(3):
         t0 = time.time()
         _ = float(loss + 0)
         rtts.append(time.time() - t0)
     rtt = min(rtts)
-
     steps = 200
     t0 = time.time()
     for i in range(steps):
-        state, metric_state, loss = step(state, batches[i % len(batches)], metric_state)
-    _ = float(loss)  # forces completion of the whole chain
+        state, metric_state, loss = step(
+            state, batches[i % len(batches)], metric_state
+        )
+    _ = float(loss)
     elapsed = max(time.time() - t0 - rtt, 1e-9)
-    ips = steps * batch_size / elapsed
+    return steps * BATCH / elapsed
 
+
+def bench_disk(state, metric_state, super_step):
+    """End-to-end from on-disk slotbin through the staged feed pipeline."""
+    from paddlerec_tpu.data.binary import BinarySlotDataset, write_slotbin
+    from paddlerec_tpu.data.wire import encode_batch, wire_bytes
+
+    tmp = tempfile.mkdtemp(prefix="bench_disk_")
+    rng = np.random.RandomState(1)
+    n = SUPER_K * BATCH * 10
+    path = os.path.join(tmp, "bench.bin")
+    write_slotbin(
+        path,
+        rng.randint(0, 2, n).astype(np.float32),
+        rng.randint(0, VOCAB, (n, 26)).astype(np.int32),
+        rng.rand(n, 13).astype(np.float32),
+    )
+
+    def superbatches():
+        buf = []
+        for b in BinarySlotDataset([path], BATCH):
+            buf.append(encode_batch(b, VOCAB))
+            if len(buf) == SUPER_K:
+                yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+                buf = []
+
+    sit = superbatches()
+    first = next(sit)
+    link_bytes = wire_bytes(first)
+    # compile + measure the raw link bandwidth on one staged transfer
+    state, metric_state, loss = super_step(
+        state, jax.device_put(first), jnp.int32(0), metric_state
+    )
+    _ = float(loss)
+    t0 = time.time()
+    probe = jax.device_put(first)
+    _ = float(probe["label"].astype(jnp.float32)[0, 0])
+    link_mbps = link_bytes / max(time.time() - t0, 1e-9) / 1e6
+
+    q: "queue.Queue" = queue.Queue(maxsize=3)
+    DONE = object()
+
+    def feeder():
+        for sb in sit:
+            q.put(jax.device_put(sb))
+        q.put(DONE)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    t0 = time.time()
+    nsteps = 0
+    while True:
+        sb = q.get()
+        if sb is DONE:
+            break
+        for i in range(SUPER_K):
+            state, metric_state, loss = super_step(
+                state, sb, jnp.int32(i), metric_state
+            )
+            nsteps += 1
+    _ = float(loss)
+    elapsed = max(time.time() - t0, 1e-9)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return nsteps * BATCH / elapsed, link_mbps
+
+
+def main():
+    state, metric_state, step, super_step = build()
+    ips = bench_synthetic(state, metric_state, step)
+    # fresh state for the disk-fed leg (the synthetic leg donated its)
+    state, metric_state, _, _ = build(model_rng=1)
+    disk_ips, link_mbps = bench_disk(state, metric_state, super_step)
     print(
         json.dumps(
             {
@@ -97,6 +203,8 @@ def main():
                 "value": round(ips, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(ips / REFERENCE_IPS, 2),
+                "disk_fed_ips": round(disk_ips, 1),
+                "feed_link_MBps": round(link_mbps, 1),
             }
         )
     )

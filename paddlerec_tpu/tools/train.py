@@ -44,7 +44,14 @@ def main(argv=None):
     maybe_init_distributed()
     config = load_config(args.config_yaml, parse_overrides(args.opt))
     logger.info("config:\n" + config.pretty())
-    trainer = Trainer(config)
+    if bool(config.runner("use_host_table", False)):
+        # GPUBox-analog pass loop: host-resident table + per-pass HBM
+        # cache (train/host_loop.py)
+        from paddlerec_tpu.train.host_loop import HostTableTrainer
+
+        trainer = HostTableTrainer(config)
+    else:
+        trainer = Trainer(config)
     metrics = trainer.train()
     logger.info(f"training finished: {metrics}")
     return metrics

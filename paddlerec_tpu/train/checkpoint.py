@@ -38,8 +38,12 @@ def save_model(params: Any, opt_state: Any, root: str, tag,
         force=True,
     )
     ckpt.wait_until_finished()
-    with open(os.path.join(os.path.abspath(root), DONEFILE), "a") as f:
-        f.write(f"{tag}\t{path}\n")
+    # multi-host: EVERY process must call save (orbax rendezvouses via
+    # sync_global_devices; a rank-0-only call deadlocks the cluster) but
+    # only the primary writes the donefile
+    if jax.process_index() == 0:
+        with open(os.path.join(os.path.abspath(root), DONEFILE), "a") as f:
+            f.write(f"{tag}\t{path}\n")
     return path
 
 

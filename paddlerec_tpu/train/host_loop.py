@@ -1,0 +1,288 @@
+"""HostTableTrainer: the GPUBox/HeterPS pass loop, CLI-reachable.
+
+Parity target: the reference's GPU parameter server trains tables larger
+than device memory by building a per-pass HBM cache of exactly the rows
+the pass touches (``PSGPU.begin_pass/end_pass``,
+tools/static_gpubox_trainer.py:153-159,207,244), with the full table and
+per-feature optimizer state living host-side (DownpourCtrDymfAccessor,
+config_fleet.py:60-104).
+
+TPU-native composition (no new kernels — reuses two existing engines):
+
+  * the FULL packed table + per-row adagrad accumulator persist in host
+    RAM (:class:`parallel.host_table.HostTieredTable` — lazily
+    materialized rows, show-decay/shrink lifecycle);
+  * each pass (``runner.files_per_pass`` data files) gathers its unique
+    physical rows, uploads ONE dense ``(cap, 128)`` cache to HBM, and
+    batch ids are translated to cache slots on the host;
+  * inside the pass the normal jitted train step runs with the
+    ``sparse_update`` row-wise engine on the cache (static shapes — one
+    compile for every pass);
+  * ``end_pass`` flushes trained rows + accumulator back to host RAM.
+
+Enable from any CTR config with::
+
+    runner:
+      use_host_table: true
+      host_table_cache_rows: 262144   # >= unique physical rows per pass
+      files_per_pass: 1
+
+The table capacity is then bounded by HOST memory (the reference's
+SSD/host tier), while HBM holds only the per-pass working set.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlerec_tpu.core.config import Config, resolve_path
+
+logger = logging.getLogger("paddlerec_tpu")
+
+
+class HostTableTrainer:
+    def __init__(self, config: Config):
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+        from paddlerec_tpu.parallel.host_table import HostTieredTable
+
+        self.config = config
+        self.vocab = int(config.hyper("sparse_feature_number", 1000001))
+        self.cap_rows = int(config.runner("host_table_cache_rows", 1 << 18))
+        self.files_per_pass = int(config.runner("files_per_pass", 1))
+
+        # the inner model sees the CACHE as its table: vocab' = cap*pack
+        # so its packed table has exactly cap physical rows
+        from paddlerec_tpu.core.registry import load_model_def
+
+        probe_md = load_model_def(config)
+        dim = int(getattr(
+            probe_md, "sparse_embed_logical_dim",
+            int(config.hyper("sparse_feature_dim", 9)),
+        ))
+        self.pack = 128 // sub_width(dim)
+        cache_vocab = self.cap_rows * self.pack
+        inner_cfg = config.copy()
+        inner_cfg.update({
+            "hyper_parameters.sparse_feature_number": cache_vocab,
+            "hyper_parameters.sparse_update": True,
+            # scalar per-row accumulator: ONE extra host array instead of
+            # two full-table moments (the reference accessor's rule)
+            "hyper_parameters.sparse_update_rule": "adagrad",
+        })
+        from paddlerec_tpu.train.trainer import Trainer
+
+        self.trainer = Trainer(inner_cfg)
+        self.phys_rows = (self.vocab + self.pack - 1) // self.pack
+        # host tier: packed physical rows + per-row optimizer state
+        self.table = HostTieredTable(
+            self.phys_rows, 128,
+            seed=int(config.runner("seed", 2023)),
+            init_scale=1e-2,
+            show_decay=float(config.runner("show_decay", 0.98)),
+        )
+        self.host_acc = np.zeros(self.phys_rows, np.float32)
+        self._tap_paths = None
+
+    # -- plumbing -------------------------------------------------------------
+    def _find_tap(self):
+        from paddlerec_tpu.ops.sparse_update import find_sparse_taps
+
+        taps = find_sparse_taps(self.trainer.state.params)
+        if len(taps) != 1:
+            raise ValueError(
+                "use_host_table requires a model with exactly one fused "
+                f"slot table (found {len(taps)} taps); got model "
+                f"{self.config.runner('model')}"
+            )
+        delta_path, table_path = next(iter(taps.items()))
+        return delta_path, table_path
+
+    def _swap_in_pass(self, pass_rows: np.ndarray):
+        """begin_pass: upload the cache + accumulator for this pass."""
+        from paddlerec_tpu.ops.sparse_update import (
+            RowwiseAdagradState, get_path, set_path,
+        )
+
+        cache = self.table.begin_pass(pass_rows)  # (U, 128) f32
+        u = len(pass_rows)
+        delta_path, table_path = self._tap_paths
+        cur_table = get_path(self.trainer.state.params, table_path)
+        padded = jnp.zeros((self.cap_rows, 128), cur_table.dtype)
+        padded = padded.at[:u].set(jnp.asarray(cache, cur_table.dtype))
+        params = set_path(self.trainer.state.params, table_path, padded)
+        acc = np.zeros(self.cap_rows, np.float32)
+        acc[:u] = self.host_acc[pass_rows]
+        key = "/".join(delta_path)
+        extra = dict(self.trainer.state.extra)
+        extra[key] = RowwiseAdagradState(acc=jnp.asarray(acc))
+        self.trainer.state = self.trainer.state.replace(
+            params=params, extra=extra
+        )
+        return u, key, table_path
+
+    def _flush_pass(self, pass_rows: np.ndarray, key: str, table_path):
+        """end_pass: persist trained cache rows + accumulator to host."""
+        from paddlerec_tpu.ops.sparse_update import get_path
+
+        u = len(pass_rows)
+        cache = np.asarray(
+            jax.device_get(
+                get_path(self.trainer.state.params, table_path)[:u]
+            ),
+            np.float32,
+        )
+        self.table.end_pass(cache)
+        self.host_acc[pass_rows] = np.asarray(
+            jax.device_get(self.trainer.state.extra[key].acc[:u])
+        )
+
+    def _translate_batch(self, batch: Dict[str, np.ndarray]):
+        """Global ids → cache-local ids (slot*pack + sub-index)."""
+        ids = np.asarray(batch["sparse"])
+        logical = ids % self.vocab
+        phys = logical // self.pack
+        sub = logical % self.pack
+        slots = self.table.translate(phys)
+        return dict(batch, sparse=(slots.astype(np.int64) * self.pack + sub))
+
+    # -- the pass loop (PSGPU begin_pass/train/end_pass) ----------------------
+    def train(self) -> Dict[str, float]:
+        from paddlerec_tpu.data.slot_reader import list_data_files, shard_files
+
+        cfg = self.config
+        t = self.trainer
+        epochs = int(cfg.runner("epochs", 1))
+        batch_size = int(cfg.runner("train_batch_size", 512))
+        data_dir = resolve_path(cfg, "runner.train_data_dir")
+        save_path = resolve_path(cfg, "runner.model_save_path")
+
+        if t.state is None:
+            t.init_state()
+        if t.state.extra is None:
+            raise ValueError(
+                "use_host_table requires a sparse_update-capable model "
+                "(no delta taps found)"
+            )
+        self._tap_paths = self._find_tap()
+        if t._train_step is None:
+            t._train_step = t._build_train_step()
+
+        files = shard_files(
+            list_data_files(data_dir), jax.process_index(),
+            jax.process_count(),
+        )
+        fpp = max(self.files_per_pass, 1)
+        passes = [files[i : i + fpp] for i in range(0, len(files), fpp)]
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(epochs):
+            metric_state = t._init_metric_state()
+            epoch_begin = time.time()
+            total = 0
+            loss = None
+            for pass_id, pass_files in enumerate(passes):
+                # host parse once; a pass must fit host RAM (the
+                # reference's InMemoryDataset load_into_memory contract)
+                batches = list(self._pass_dataset(pass_files, batch_size))
+                if not batches:
+                    continue
+                phys = np.unique(np.concatenate([
+                    ((np.asarray(b["sparse"]).reshape(-1) % self.vocab)
+                     // self.pack)
+                    for b in batches
+                ]))
+                if len(phys) > self.cap_rows:
+                    raise ValueError(
+                        f"pass {pass_id} touches {len(phys)} physical rows "
+                        f"> host_table_cache_rows {self.cap_rows}; raise "
+                        "the cache or lower files_per_pass"
+                    )
+                u, key, table_path = self._swap_in_pass(phys)
+                for b in batches:
+                    b = self._translate_batch(b)
+                    b = t.model_def.augment_batch_host(b)
+                    db = jax.device_put(b, t.batch_sharding)
+                    t.state, metric_state, loss = t._train_step(
+                        t.state, db, metric_state
+                    )
+                    total += t._batch_rows(b)
+                if loss is not None:
+                    jax.block_until_ready(loss)
+                self._flush_pass(phys, key, table_path)
+                logger.info(
+                    f"epoch {epoch} pass {pass_id}: {len(phys)} rows cached, "
+                    f"{self.table.rows_resident} resident host rows"
+                )
+            epoch_time = time.time() - epoch_begin
+            last_metrics = (
+                t._compute_metrics(metric_state) if t.use_auc else {}
+            )
+            if t.use_auc:
+                logger.info(
+                    "epoch: {} done (host_table), {}, epoch time: {:.2f} s, "
+                    "ips: {:.2f} ins/s".format(
+                        epoch, t._bundle_str(last_metrics, "train"),
+                        epoch_time, total / max(epoch_time, 1e-9),
+                    )
+                )
+            # day-end lifecycle (show decay; optional eviction)
+            self.table.end_day()
+            thr = cfg.runner("host_table_shrink_threshold")
+            if thr is not None:
+                evicted = self.table.shrink(float(thr))
+                logger.info(f"host table shrink: evicted {evicted} rows")
+            if save_path and jax.process_index() == 0:
+                self.save(save_path, epoch)
+            last_metrics["epoch_time"] = epoch_time
+            last_metrics["ips"] = total / max(epoch_time, 1e-9)
+        return last_metrics
+
+    def _pass_dataset(self, pass_files, batch_size):
+        from paddlerec_tpu.data.binary import BinarySlotDataset, is_slotbin
+        from paddlerec_tpu.data.schema import schema_from_config
+        from paddlerec_tpu.data.slot_reader import SlotDataset
+
+        if pass_files and pass_files[0].endswith(".bin") \
+                and is_slotbin(pass_files[0]):
+            return BinarySlotDataset(pass_files, batch_size)
+        return SlotDataset(
+            pass_files, schema_from_config(self.config), batch_size,
+            drop_last=True,
+        )
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, root: str, epoch) -> str:
+        """Dense params via the normal checkpoint; host tier as npz."""
+        from paddlerec_tpu.train import checkpoint as ckpt_lib
+
+        path = ckpt_lib.save_model(
+            jax.device_get(self.trainer.state.params),
+            jax.device_get(self.trainer.state.opt_state),
+            root, epoch,
+            extra=jax.device_get(self.trainer.state.extra),
+        )
+        np.savez_compressed(
+            os.path.join(path, "host_table.npz"),
+            table=self.table._table,
+            initialized=self.table._initialized,
+            shows=self.table._shows,
+            acc=self.host_acc,
+        )
+        logger.info(f"saved host-table checkpoint to {path}")
+        return path
+
+    def load(self, root: str, tag) -> None:
+        z = np.load(os.path.join(root, str(tag), "host_table.npz"))
+        self.table._table = z["table"]
+        self.table._initialized = z["initialized"]
+        self.table._shows = z["shows"]
+        self.host_acc = z["acc"]
+        if self.trainer.state is None:
+            self.trainer.init_state()
+        self.trainer.load_checkpoint(root, tag)

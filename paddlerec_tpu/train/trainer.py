@@ -58,7 +58,22 @@ if not logger.handlers:
 class Trainer:
     def __init__(self, config: Config, model_def=None, mesh=None):
         self.config = config
-        self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        # runner.sync_mode: geo — k-step local training with periodic
+        # cross-process parameter averaging (reference PS-geo,
+        # program_helper.py:44-51).  Each process trains on its own file
+        # shard with a LOCAL device mesh (zero inter-host traffic inside
+        # the k steps) and rendezvouses every k steps to average params;
+        # optimizer state stays worker-local like the reference's geo
+        # mode (only parameter diffs are pushed).
+        self.geo_k = 0
+        if str(config.runner("sync_mode", "") or "").lower() == "geo":
+            self.geo_k = int(config.runner("geo_k_steps", 100))
+        self._geo_local = bool(self.geo_k and jax.process_count() > 1)
+        if mesh is None:
+            mesh = mesh_from_config(
+                config, jax.local_devices() if self._geo_local else None
+            )
+        self.mesh = mesh
         # announce the mesh so layers with distributed paths (SlotEmbedding)
         # pick it up at trace time
         parallel_context.set_mesh(self.mesh)
@@ -72,6 +87,7 @@ class Trainer:
             self.mesh, jax.sharding.PartitionSpec()
         )
         self._train_step = None
+        self._train_step_super = None
         self._infer_step = None
         self.state: Optional[TrainState] = None
         self.use_auc = bool(config.runner("use_auc", True)) and (
@@ -216,6 +232,18 @@ class Trainer:
                 metric_state = self._update_metrics(metric_state, aux)
             return state, metric_state, loss
 
+        def super_step(state: TrainState, sb, i, metric_state):
+            # slice sub-batch i out of a staged superbatch ON DEVICE
+            # (runner.feed_superbatch) — the gather fuses into the step
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i, 0, keepdims=False
+                ),
+                sb,
+            )
+            return train_step(state, batch, metric_state)
+
+        self._train_step_super = jax.jit(super_step, donate_argnums=(0, 3))
         return jax.jit(train_step, donate_argnums=(0, 2))
 
     def _build_infer_step(self):
@@ -307,9 +335,10 @@ class Trainer:
         vocab = int(self.config.hyper("sparse_feature_number", 0))
         return (encode_batch(b, vocab) for b in dataset)
 
-    def _device_batches(self, dataset) -> Iterable:
+    def _device_batches(self, dataset, allow_super: bool = True) -> Iterable:
         md = self.model_def
-        multi = jax.process_count() > 1
+        # geo processes feed their local mesh only (no global batches)
+        multi = jax.process_count() > 1 and not self._geo_local
         # multi-host + sparse_update: the per-host dedup of
         # augment_batch_host would be dp-sharded while the row update
         # expects the GLOBAL batch's unique rows; instead every host
@@ -369,8 +398,45 @@ class Trainer:
                         batch, self.mesh, P(DP_AXIS)
                     )
             return
+        k = int(self.config.runner("feed_superbatch", 0) or 0)
+        if k > 1 and allow_super:
+            # superbatch staging: K host batches ride ONE host→device
+            # transfer (per-call overhead makes K small transfers much
+            # slower than one K-times-larger one on constrained links);
+            # the jitted step slices batch i on device.  Yields
+            # (superbatch, i) pairs consumed by the superbatch step.
+            yield from self._staged_superbatches(dataset, k)
+            return
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
+
+    def _staged_superbatches(self, dataset, k: int):
+        def stacked():
+            buf = []
+            for b in dataset:
+                buf.append(b)
+                if len(buf) == k:
+                    yield {
+                        key: np.stack([x[key] for x in buf])
+                        for key in buf[0]
+                    }
+                    buf = []
+            if buf:  # tail: smaller leading dim (compiles once per size)
+                yield {
+                    key: np.stack([x[key] for x in buf]) for key in buf[0]
+                }
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from paddlerec_tpu.parallel.sharding import DP_AXIS
+
+        # each sub-batch's rows split over dp (dim 1; dim 0 is the K axis)
+        sb_sharding = NamedSharding(self.mesh, P(None, DP_AXIS))
+        for sb in PrefetchIterator(
+            (jax.device_put(s, sb_sharding) for s in stacked()), depth=3
+        ):
+            for i in range(int(next(iter(sb.values())).shape[0])):
+                yield sb, i
 
     @staticmethod
     def _batch_rows(batch) -> int:
@@ -394,6 +460,105 @@ class Trainer:
         return prefix + " " + ", ".join(
             f"{k}={v:.6f}" for k, v in metrics.items()
         )
+
+    # -- geo (k-step local SGD) ----------------------------------------------
+    def _geo_sync(self) -> None:
+        """Average params across processes (one DCN-class rendezvous).
+
+        train/geo.py holds the in-jit (pmean) variant for single-process
+        meshes; across processes the sync allgathers to the host and
+        averages — exactly the reference geo push/pull cadence
+        (a_sync_configs k_steps)."""
+        from jax.experimental import multihost_utils
+
+        host = jax.device_get(self.state.params)
+        stacked = multihost_utils.process_allgather(host)
+
+        def avg(x, cur):
+            x = np.asarray(x)
+            if not np.issubdtype(x.dtype, np.floating):
+                out = x[0]
+            else:
+                out = np.mean(
+                    x.astype(np.float32), axis=0
+                ).astype(x.dtype)
+            return jax.device_put(out, cur.sharding)
+
+        self.state = self.state.replace(
+            params=jax.tree.map(avg, stacked, self.state.params)
+        )
+
+    def _geo_merge_metrics(self, metric_state):
+        """Sum per-process metric states (counts are additive) so epoch
+        metrics reflect ALL workers' data, like get_global_auc."""
+        from jax.experimental import multihost_utils
+
+        host = jax.device_get(metric_state)
+        stacked = multihost_utils.process_allgather(host)
+        return jax.tree.map(lambda x: np.sum(np.asarray(x), axis=0), stacked)
+
+    def _geo_rendezvous(self, has_more: bool) -> bool:
+        """k-step barrier: sync params, learn whether ANY process still
+        has data.  Every process calls this in lockstep (active processes
+        after k local steps, exhausted ones with has_more=False) so the
+        collective sequence matches across hosts."""
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([1 if has_more else 0], np.int32)
+        )
+        self._geo_sync()
+        return bool(np.max(flags) > 0)
+
+    def _train_epoch_geo(self, dataset, metric_state, epoch: int,
+                         print_interval: int):
+        """One epoch in geo mode: rounds of up to k local steps followed
+        by a parameter-averaging rendezvous.  Exhausted processes keep
+        joining rendezvous (with zero local steps) until every process
+        is done, so the collective sequence never diverges even with
+        uneven file shards."""
+        it = iter(self._device_batches(dataset))
+        total = 0
+        steps = 0
+        loss = None
+        exhausted = False
+        round_begin = time.time()
+        while True:
+            done_in_round = 0
+            while done_in_round < self.geo_k and not exhausted:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                self.state, metric_state, loss = self._train_step(
+                    self.state, batch, metric_state
+                )
+                n = self._batch_rows(batch)
+                total += n
+                steps += 1
+                done_in_round += 1
+                if steps % print_interval == 0:
+                    jax.block_until_ready(loss)
+                    auc_str = (self._auc_str(metric_state)
+                               if self.use_auc else "")
+                    logger.info(
+                        f"epoch: {epoch}, batch_id: {steps - 1}, {auc_str}"
+                        f"loss: {float(jax.device_get(loss)):.6f} "
+                        f"(geo local, worker {jax.process_index()})"
+                    )
+            if loss is not None:
+                jax.block_until_ready(loss)
+            more = self._geo_rendezvous(not exhausted)
+            logger.info(
+                f"geo sync: worker {jax.process_index()} after "
+                f"{done_in_round} local steps "
+                f"({time.time() - round_begin:.2f} s round)"
+            )
+            round_begin = time.time()
+            if not more:
+                break
+        return metric_state, total, loss
 
     # -- loops ---------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -441,6 +606,39 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             metric_state = self._init_metric_state()
             epoch_begin = time.time()
+            if self._geo_local:
+                metric_state, total_samples, loss = self._train_epoch_geo(
+                    dataset, metric_state, epoch, print_interval
+                )
+                epoch_time = time.time() - epoch_begin
+                # counts are additive: merge per-worker states so epoch
+                # metrics cover ALL workers' data
+                merged = self._geo_merge_metrics(metric_state)
+                last_metrics = (
+                    self._compute_metrics(merged) if self.use_auc else {}
+                )
+                if self.use_auc:
+                    logger.info(
+                        "epoch: {} done (geo, k={}), {}, epoch time: {:.2f} s".format(
+                            epoch, self.geo_k,
+                            self._bundle_str(last_metrics, "train"),
+                            epoch_time,
+                        )
+                    )
+                if save_path:
+                    # every process joins the save (orbax rendezvouses)
+                    path = ckpt_lib.save_model(
+                        jax.device_get(self.state.params),
+                        jax.device_get(self.state.opt_state),
+                        save_path, epoch,
+                        extra=(jax.device_get(self.state.extra)
+                               if self.state.extra is not None else None),
+                    )
+                    if jax.process_index() == 0:
+                        logger.info(f"saved checkpoint to {path}")
+                last_metrics["epoch_time"] = epoch_time
+                last_metrics["ips"] = total_samples / max(epoch_time, 1e-9)
+                continue
             reader_start = time.time()
             reader_cost = train_cost = 0.0
             interval_samples = 0
@@ -454,10 +652,17 @@ class Trainer:
                     add_profiler_step(profiler_options)
                 reader_cost += time.time() - reader_start
                 step_start = time.time()
-                self.state, metric_state, loss = self._train_step(
-                    self.state, batch, metric_state
-                )
-                n = self._batch_rows(batch)
+                if isinstance(batch, tuple):  # (superbatch, index)
+                    sb, idx = batch
+                    self.state, metric_state, loss = self._train_step_super(
+                        self.state, sb, jnp.int32(idx), metric_state
+                    )
+                    n = int(next(iter(sb.values())).shape[1])
+                else:
+                    self.state, metric_state, loss = self._train_step(
+                        self.state, batch, metric_state
+                    )
+                    n = self._batch_rows(batch)
                 interval_samples += n
                 total_samples += n
                 global_step += 1
@@ -505,7 +710,9 @@ class Trainer:
                 )
             else:
                 logger.info(f"epoch: {epoch} done, epoch time: {epoch_time:.2f} s")
-            if save_path and jax.process_index() == 0:
+            if save_path:
+                # every process joins the save (orbax rendezvouses via
+                # sync_global_devices; rank-0-only would deadlock)
                 path = ckpt_lib.save_model(
                     jax.device_get(self.state.params),
                     jax.device_get(self.state.opt_state),
@@ -516,7 +723,8 @@ class Trainer:
                         if self.state.extra is not None else None
                     ),
                 )
-                logger.info(f"saved checkpoint to {path}")
+                if jax.process_index() == 0:
+                    logger.info(f"saved checkpoint to {path}")
             last_metrics["epoch_time"] = epoch_time
             last_metrics["ips"] = total_samples / max(epoch_time, 1e-9)
         if visual is not None:
@@ -539,6 +747,7 @@ class Trainer:
             self._infer_step = self._build_infer_step()
 
         dataset = self.make_dataset(data_dir, batch_size, drop_last=False)
+        eval_batches = self._device_batches(dataset, allow_super=False)
         metric_state = self._init_metric_state()
         # dump_fields: per-instance variable dumps for the on/off-line
         # consistency diff (reference set_dump_config,
@@ -559,7 +768,7 @@ class Trainer:
             dump_file = open(dump_path, "w")
         begin = time.time()
         total = 0
-        for batch_id, batch in enumerate(self._device_batches(dataset)):
+        for batch_id, batch in enumerate(eval_batches):
             metric_state, aux = self._infer_step(self.state, batch, metric_state)
             if dump_file is not None:
                 import json as _json

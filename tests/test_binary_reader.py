@@ -207,3 +207,55 @@ def test_wire_trained_step_parity(tmp_path):
     plain = float(jax.jit(fwd)(params, batch))
     enc = float(jax.jit(fwd)(params, wire.encode_batch(batch, 1000)))
     assert abs(plain - enc) < 1e-3, (plain, enc)
+
+
+def test_superbatch_staging_matches_plain(tmp_path):
+    """runner.feed_superbatch groups K batches into one transfer; the
+    on-device slice must reproduce EXACTLY the plain path's training
+    (same batches, same order -> identical final metrics)."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.train.trainer import Trainer
+
+    _write_bin(tmp_path, "a.bin", 96, s=8, d=4, seed=9)
+    base = {
+        "runner.model": "rank.dnn",
+        "runner.train_data_dir": str(tmp_path),
+        "runner.train_batch_size": 16,
+        "runner.epochs": 1,
+        "runner.print_interval": 100,
+        "hyper_parameters.sparse_inputs_slots": 9,
+        "hyper_parameters.sparse_feature_number": 1000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.dense_input_dim": 4,
+        "hyper_parameters.fc_sizes": [16],
+    }
+    m_plain = Trainer(Config(dict(base))).train()
+    m_super = Trainer(
+        Config(dict(base, **{"runner.feed_superbatch": 4}))
+    ).train()
+    assert abs(m_plain["auc"] - m_super["auc"]) < 1e-6
+    assert m_plain["total_ins"] == m_super["total_ins"] == 96.0
+
+
+def test_superbatch_with_wire_and_tail(tmp_path):
+    """Superbatch + wire encoding + a tail group smaller than K."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.train.trainer import Trainer
+
+    _write_bin(tmp_path, "a.bin", 112, s=8, d=4, seed=11)  # 7 batches, K=4
+    cfg = Config({
+        "runner.model": "rank.dnn",
+        "runner.train_data_dir": str(tmp_path),
+        "runner.train_batch_size": 16,
+        "runner.epochs": 1,
+        "runner.print_interval": 100,
+        "runner.feed_superbatch": 4,
+        "runner.wire_format": "compact",
+        "hyper_parameters.sparse_inputs_slots": 9,
+        "hyper_parameters.sparse_feature_number": 1000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.dense_input_dim": 4,
+        "hyper_parameters.fc_sizes": [16],
+    })
+    metrics = Trainer(cfg).train()
+    assert metrics["total_ins"] == 112.0
