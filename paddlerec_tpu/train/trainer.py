@@ -89,6 +89,7 @@ class Trainer:
         self._train_step = None
         self._train_step_super = None
         self._infer_step = None
+        self._overflow_strikes = 0
         self.state: Optional[TrainState] = None
         self.use_auc = bool(config.runner("use_auc", True)) and (
             model_def.metrics in ("auc", "acc")
@@ -461,6 +462,67 @@ class Trainer:
             f"{k}={v:.6f}" for k, v in metrics.items()
         )
 
+    # -- overflow observability ----------------------------------------------
+    def _overflow_probe(self, batch) -> Optional[int]:
+        """Sampled overflow monitor for the all_to_all embedding engine
+        (VERDICT r1 W5: bucket overflow silently drops gradients).
+
+        At every print interval the current batch's ids are routed
+        through ``lookup_with_overflow`` and the dropped-id count is
+        logged; ``runner.overflow_raise_after: N`` raises after N
+        consecutive non-zero probes (skewed, non-hashed id distributions
+        degrade quality invisibly otherwise — raise
+        ``hyper_parameters.embedding_capacity_factor`` when it fires).
+        """
+        from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+        if dict(self.mesh.shape).get(MP_AXIS, 1) <= 1:
+            return None
+        ids = batch.get("sparse") if isinstance(batch, dict) else None
+        if ids is None or getattr(ids, "ndim", 0) != 2:
+            return None
+        from paddlerec_tpu.ops.embedding import EMBEDDING_PARAM_NAME
+        from paddlerec_tpu.parallel.embedding import get_engine
+
+        eng = get_engine(
+            self.mesh,
+            int(self.config.hyper("sparse_feature_number", 0)),
+            int(self.config.hyper("sparse_feature_dim", 9)),
+            dtype=self.model_def.table_dtype()
+            if hasattr(self.model_def, "table_dtype") else jnp.float32,
+        )
+        table = None
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            self.state.params
+        )[0]:
+            keys = tuple(getattr(k, "key", k) for k in path)
+            if (keys and keys[-1] == EMBEDDING_PARAM_NAME
+                    and getattr(leaf, "shape", None) == (eng.rows, 128)):
+                table = leaf
+                break
+        if table is None:
+            return None
+        _, overflow = eng.lookup_with_overflow(table, ids)
+        count = int(np.sum(jax.device_get(overflow)))
+        if count:
+            self._overflow_strikes += 1
+            logger.warning(
+                f"embedding exchange overflow: {count} ids dropped this "
+                f"batch (strike {self._overflow_strikes}); raise "
+                "hyper_parameters.embedding_capacity_factor"
+            )
+            limit = self.config.runner("overflow_raise_after")
+            if limit is not None and self._overflow_strikes >= int(limit):
+                raise RuntimeError(
+                    f"embedding exchange overflowed on "
+                    f"{self._overflow_strikes} consecutive probes "
+                    f"(last count {count}); ids are too skewed for the "
+                    "configured bucket capacity"
+                )
+        else:
+            self._overflow_strikes = 0
+        return count
+
     # -- geo (k-step local SGD) ----------------------------------------------
     def _geo_sync(self) -> None:
         """Average params across processes (one DCN-class rendezvous).
@@ -689,6 +751,8 @@ class Trainer:
                     )
                     reader_cost = train_cost = 0.0
                     interval_samples = 0
+                    if not isinstance(batch, tuple):
+                        self._overflow_probe(batch)
                 else:
                     train_cost += time.time() - step_start
                 reader_start = time.time()
