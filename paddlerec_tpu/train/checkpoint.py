@@ -19,8 +19,14 @@ import orbax.checkpoint as ocp
 DONEFILE = "donefile.txt"
 
 
+def _abs_root(root: str) -> str:
+    # remote roots (gs:// — orbax writes them via tensorstore) must not
+    # be abspath'd into ./gs:/...
+    return root if "://" in root else os.path.abspath(root)
+
+
 def _ckpt_dir(root: str, tag) -> str:
-    return os.path.join(os.path.abspath(root), str(tag))
+    return os.path.join(_abs_root(root), str(tag))
 
 
 def save_model(params: Any, opt_state: Any, root: str, tag,
@@ -42,8 +48,10 @@ def save_model(params: Any, opt_state: Any, root: str, tag,
     # sync_global_devices; a rank-0-only call deadlocks the cluster) but
     # only the primary writes the donefile
     if jax.process_index() == 0:
-        with open(os.path.join(os.path.abspath(root), DONEFILE), "a") as f:
-            f.write(f"{tag}\t{path}\n")
+        from paddlerec_tpu.utils.fs import get_fs
+
+        done = os.path.join(_abs_root(root), DONEFILE)
+        get_fs(done).append_line(done, f"{tag}\t{path}")
     return path
 
 
@@ -68,11 +76,13 @@ def load_model(root: str, tag, abstract_state: Optional[Any] = None
 
 def last_saved_tag(root: str) -> Optional[str]:
     """Latest tag recorded in the donefile (resume point), or None."""
-    done = os.path.join(os.path.abspath(root), DONEFILE)
-    if not os.path.exists(done):
+    from paddlerec_tpu.utils.fs import get_fs
+
+    done = os.path.join(_abs_root(root), DONEFILE)
+    fs = get_fs(done)
+    if not fs.exists(done):
         return None
-    with open(done) as f:
-        lines = [l.strip() for l in f if l.strip()]
+    lines = [l.strip() for l in fs.read_text(done).splitlines() if l.strip()]
     if not lines:
         return None
     return lines[-1].split("\t")[0]

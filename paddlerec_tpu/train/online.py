@@ -66,6 +66,30 @@ class _ChainDataset:
             yield from d
 
 
+class _ArrayDataset:
+    """Re-iterable fixed-shape batches over in-memory row arrays (the
+    materialized form a global-shuffled pass takes)."""
+
+    def __init__(self, labels, sparse, dense, batch_size: int):
+        self.labels = labels
+        self.sparse = sparse
+        self.dense = dense
+        self.batch_size = int(batch_size)
+
+    def __iter__(self):
+        bs = self.batch_size
+        n = len(self.labels) - (len(self.labels) % bs)
+        for i in range(0, n, bs):
+            batch = {
+                "label": np.asarray(self.labels[i:i + bs], np.float32),
+                "sparse": np.asarray(self.sparse[i:i + bs]),
+                "mask": np.ones(bs, np.float32),
+            }
+            if self.dense is not None:
+                batch["dense"] = np.asarray(self.dense[i:i + bs])
+            yield batch
+
+
 class FeatureStats:
     """Per-row show counters with daily decay — feature lifecycle bookkeeping.
 
@@ -151,40 +175,57 @@ class OnlineTrainer(Trainer):
         )
         self.stats: Optional[FeatureStats] = None
         self._feature_lifecycle = bool(config.runner("feature_lifecycle", True))
+        # rows touched since the last published base/delta (mode-1 delta
+        # bookkeeping, flow_helper.py:372-533)
+        self._touched: Optional[np.ndarray] = None
+        self.global_shuffle = bool(config.runner("global_shuffle", False))
+        self.prefetch_next_pass = bool(config.runner("prefetch", False))
+        self._prefetch_thread = None
+        self._prefetched = None  # (key, dataset)
 
     # -- donefile protocol -----------------------------------------------------
+    # All donefile / data-gating / stats IO routes through utils/fs.py so
+    # a ``gs://`` model root (the HDFS analog, flow_helper.py:40-57)
+    # works with the online loop, not only the epoch trainer.
+    def _fs(self, path: str):
+        from paddlerec_tpu.utils.fs import get_fs
+
+        return get_fs(path)
+
     def _donefile(self) -> str:
         root = resolve_path(self.config, "runner.model_save_path")
-        os.makedirs(root, exist_ok=True)
+        self._fs(root).mkdir(root)
         return os.path.join(root, "online_donefile.txt")
 
     def last_done(self):
         path = self._donefile()
-        if not os.path.exists(path):
+        fs = self._fs(path)
+        if not fs.exists(path):
             return None
-        lines = [l for l in open(path).read().splitlines() if l.strip()]
+        lines = [l for l in fs.read_text(path).splitlines() if l.strip()]
         if not lines:
             return None
         rec = json.loads(lines[-1])
         return rec  # {"day":..., "pass":..., "path":...}
 
     def write_done(self, day: str, pass_id: int, path: str, kind: str) -> None:
-        with open(self._donefile(), "a") as f:
-            f.write(
-                json.dumps(
-                    {"day": day, "pass": pass_id, "path": path, "kind": kind,
-                     "ts": time.time()}
-                )
-                + "\n"
-            )
+        done = self._donefile()
+        self._fs(done).append_line(
+            done,
+            json.dumps(
+                {"day": day, "pass": pass_id, "path": path, "kind": kind,
+                 "ts": time.time()}
+            ),
+        )
 
     # -- data gating ---------------------------------------------------------------
     def wait_for_data(self, pass_dir: str) -> bool:
+        fs = self._fs(pass_dir)
         if not self.data_donefile:
-            return os.path.isdir(pass_dir)
+            return fs.isdir(pass_dir)
         marker = os.path.join(pass_dir, self.data_donefile)
         waited = 0.0
-        while not os.path.exists(marker):
+        while not fs.exists(marker):
             if self.data_wait_timeout and waited >= self.data_wait_timeout:
                 return False
             time.sleep(self.data_sleep_second)
@@ -217,7 +258,7 @@ class OnlineTrainer(Trainer):
         )
 
     def _observe_batch(self, batch) -> None:
-        if not self._feature_lifecycle or "sparse" not in batch:
+        if "sparse" not in batch:
             return
         if self.stats is None:
             entries = self._embedding_entries()
@@ -225,6 +266,7 @@ class OnlineTrainer(Trainer):
                 self._feature_lifecycle = False  # no tables to track
                 return
             self.stats = self._make_stats(entries[0][1].shape[0])
+            self._touched = np.zeros(entries[0][1].shape[0], bool)
         ids = np.asarray(batch["sparse"]).reshape(-1)
         vocab = getattr(self.model_def, "vocab_size", None)
         if vocab:
@@ -239,7 +281,50 @@ class OnlineTrainer(Trainer):
                 pack = max(1, int(np.ceil(vocab / rows_total)))
         else:
             pack = 1
-        self.stats.observe((ids // pack) % rows_total)
+        rows = (ids // pack) % rows_total
+        # delta bookkeeping is independent of the lifecycle flag: the
+        # mode-1 delta publishes exactly the rows touched since the last
+        # published artifact
+        if self._touched is not None:
+            self._touched[rows] = True
+        if self._feature_lifecycle:
+            self.stats.observe(rows)
+
+    def _save_stats(self, save_root: str, tag: str) -> None:
+        dest = os.path.join(save_root, f"{tag}_stats.npz")
+        if "://" in save_root:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".npz",
+                                             delete=False) as t:
+                tmp = t.name
+            self.stats.save(tmp)
+            self._fs(dest).upload(tmp, dest)
+            os.unlink(tmp)
+        else:
+            self.stats.save(dest)
+
+    def _load_stats(self, save_root: str, tag: str) -> None:
+        src = os.path.join(save_root, f"{tag}_stats.npz")
+        fs = self._fs(src)
+        if not fs.exists(src):
+            return
+        entries = self._embedding_entries()
+        if not entries:
+            return
+        self.stats = self._make_stats(entries[0][1].shape[0])
+        self._touched = np.zeros(entries[0][1].shape[0], bool)
+        if "://" in save_root:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".npz",
+                                             delete=False) as t:
+                tmp = t.name
+            fs.download(src, tmp)
+            self.stats.load(tmp)
+            os.unlink(tmp)
+        else:
+            self.stats.load(src)
 
     def shrink(self) -> int:
         """Evict stale feature rows: zero table rows + optimizer moments."""
@@ -281,6 +366,176 @@ class OnlineTrainer(Trainer):
         logger.info(f"shrink: evicted {len(evict_rows)} stale feature rows")
         return len(evict_rows)
 
+    # -- delta publishing -----------------------------------------------------
+    def save_delta(self, save_root: str, tag: str) -> str:
+        """Mode-1 delta: publish ONLY the rows touched since the last
+        published artifact, as cube KV shards (logical id → vector).
+
+        Artifact size ∝ touched rows — the reference's delta exists to
+        make pass-cadence publishing cheap (flow_helper.py:372-533); r1
+        wrote full params under a delta_ tag, tens of GB at 10^8 vocab.
+        The shards are directly consumable by the cube KV store
+        (native/cube.py + serving/vector lookup path).
+        """
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+
+        out_dir = os.path.join(save_root, tag)
+        vocab = getattr(self.model_def, "vocab_size", None) or int(
+            self.config.hyper("sparse_feature_number", 0)
+        )
+        dim = int(getattr(
+            self.model_def, "sparse_embed_logical_dim",
+            int(self.config.hyper("sparse_feature_dim", 9)),
+        ))
+        entries = self._embedding_entries()
+        rows = (np.nonzero(self._touched)[0]
+                if self._touched is not None else np.zeros(0, np.int64))
+        os.makedirs(out_dir, exist_ok=True)
+        meta = {"rows_touched": int(len(rows)), "vocab": int(vocab),
+                "dim": dim, "tables": []}
+        shards = int(self.config.runner("delta_cube_shards", 1))
+        for path, leaf in entries:
+            if self._touched is None or leaf.shape[0] != len(self._touched):
+                continue
+            name = "_".join(str(p.key if hasattr(p, "key") else p)
+                            for p in path)
+            if len(rows) == 0:
+                meta["tables"].append({"name": name, "keys": 0})
+                continue
+            sub = np.asarray(
+                jax.device_get(leaf[jnp.asarray(rows)]), np.float32
+            )
+            if sub.ndim == 2 and sub.shape[1] == 128 and vocab:
+                # packed physical rows → logical (id, vector) pairs
+                w = sub_width(dim)
+                pack = 128 // w
+                vals = sub.reshape(-1, pack, w)[:, :, :dim].reshape(-1, dim)
+                keys = (rows[:, None] * pack
+                        + np.arange(pack)[None, :]).reshape(-1)
+                keep = keys < vocab
+                from paddlerec_tpu.native.cube import export_table
+
+                export_table(
+                    os.path.join(out_dir, name),
+                    keys[keep].astype(np.int64),
+                    np.ascontiguousarray(vals[keep]), shards,
+                )
+                meta["tables"].append(
+                    {"name": name, "keys": int(keep.sum()), "format": "cube"}
+                )
+            else:
+                # non-standard layout: raw touched rows
+                np.savez_compressed(
+                    os.path.join(out_dir, f"{name}_delta.npz"),
+                    rows=rows, values=sub,
+                )
+                meta["tables"].append(
+                    {"name": name, "keys": int(len(rows)), "format": "npz"}
+                )
+        with open(os.path.join(out_dir, "delta_meta.json"), "w") as f:
+            json.dump(meta, f)
+        if self._touched is not None:
+            self._touched[:] = False  # next delta counts from here
+        return out_dir
+
+    # -- global shuffle + pass prefetch ---------------------------------------
+    def _prepare_pass(self, dirs: List[str], seed: int):
+        """Materialize a pass (InMemoryDataset.load_into_memory analog).
+
+        With ``runner.global_shuffle`` every worker reads ALL the pass's
+        files and keeps rows ``[rank::nproc]`` — a deterministic
+        cross-worker redistribution (the dataset.global_shuffle RPC
+        analog, static_ps_online_trainer.py:359-368) — then applies a
+        seeded local permutation.  Without it, per-worker file shards
+        chain as before (zero extra memory).
+        """
+        batch_size = int(self.config.runner("train_batch_size", 32))
+        if not self.global_shuffle:
+            fs0 = self._fs(dirs[0]) if dirs else None
+            datasets = [self.make_dataset(d, batch_size)
+                        for d in dirs if fs0 and fs0.isdir(d)]
+            return _ChainDataset(datasets)
+        from paddlerec_tpu.data.binary import is_slotbin
+        from paddlerec_tpu.data.schema import schema_from_config
+        from paddlerec_tpu.data.slot_reader import list_data_files
+
+        schema = schema_from_config(self.config)
+        rank, nproc = jax.process_index(), jax.process_count()
+        labels, sparse, dense = [], [], []
+        for d in dirs:
+            if not self._fs(d).isdir(d):
+                continue
+            for f in list_data_files(d):
+                la, sp, de = self._load_rows(f, schema)
+                labels.append(la[rank::nproc])
+                sparse.append(sp[rank::nproc])
+                dense.append(de[rank::nproc] if de is not None else None)
+        if not labels:
+            return _ChainDataset([])
+        la = np.concatenate(labels)
+        sp = np.concatenate(sparse)
+        de = (np.concatenate([d for d in dense if d is not None])
+              if any(d is not None for d in dense) else None)
+        perm = np.random.RandomState(seed + rank).permutation(len(la))
+        return _ArrayDataset(la[perm], sp[perm],
+                             de[perm] if de is not None else None,
+                             batch_size)
+
+    def _load_rows(self, path: str, schema):
+        from paddlerec_tpu.data.binary import SlotBinFile, is_slotbin
+
+        if path.endswith(".bin") and is_slotbin(path):
+            f = SlotBinFile(path)
+            sp = np.asarray(f.sparse)
+            if sp.ndim == 3 and sp.shape[2] == 1:
+                sp = sp[:, :, 0]
+            return (np.asarray(f.labels), sp,
+                    np.asarray(f.dense) if f.dense is not None else None)
+        from paddlerec_tpu.data.binary import _parse_text
+
+        return _parse_text(path, schema.num_sparse, schema.dense_dim,
+                           num_threads=4)
+
+    def _next_pass_key(self, day_idx: int, pass_id: int, days: List[str]):
+        """(day, pass, dirs) of the pass after (day_idx, pass_id), or None."""
+        data_root = resolve_path(self.config, "runner.train_data_dir")
+        p = pass_id + 1
+        d = day_idx
+        if p >= len(self.pass_intervals):
+            p = 0
+            d += 1
+        if d >= len(days):
+            return None
+        dirs = [os.path.join(data_root, days[d], s)
+                for s in self.pass_intervals[p]]
+        return (days[d], p, dirs)
+
+    def _start_prefetch(self, key, dirs, seed: int) -> None:
+        """Overlap the NEXT pass's parse/load with this pass's training
+        (static_ps_online_trainer.py:370-371 prefetch analog)."""
+        import threading
+
+        def work():
+            try:
+                self._prefetched = (key, self._prepare_pass(dirs, seed))
+            except Exception as e:  # surfaced when the pass is consumed
+                self._prefetched = (key, e)
+
+        self._prefetch_thread = threading.Thread(target=work, daemon=True)
+        self._prefetch_thread.start()
+
+    def _take_prefetched(self, key):
+        if self._prefetch_thread is not None:
+            self._prefetch_thread.join()
+            self._prefetch_thread = None
+        if self._prefetched and self._prefetched[0] == key:
+            ds = self._prefetched[1]
+            self._prefetched = None
+            if isinstance(ds, Exception):
+                raise ds
+            return ds
+        return None
+
     # -- pass/day loops -------------------------------------------------------------
     def _day_list(self) -> List[str]:
         if self.days:
@@ -295,17 +550,18 @@ class OnlineTrainer(Trainer):
             d += timedelta(days=1)
         return days
 
-    def train_pass(self, pass_dir, day: str, pass_id: int) -> Dict[str, float]:
-        batch_size = int(self.config.runner("train_batch_size", 32))
+    def train_pass(self, pass_dir, day: str, pass_id: int,
+                   dataset=None) -> Dict[str, float]:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         if self._infer_step is None:
             self._infer_step = self._build_infer_step()
 
         dirs = [pass_dir] if isinstance(pass_dir, str) else list(pass_dir)
-        datasets = [self.make_dataset(d, batch_size)
-                    for d in dirs if os.path.isdir(d)]
-        dataset = _ChainDataset(datasets)
+        if dataset is None:
+            dataset = self._prepare_pass(
+                dirs, seed=int(self.config.runner("seed", 2023)) + pass_id
+            )
 
         # join-time eval BEFORE training on the pass (online AUC)
         if self.infer_before_train and self.use_auc:
@@ -354,12 +610,7 @@ class OnlineTrainer(Trainer):
                 logger.info(f"resuming state from {ckpts[-1]['path']}")
                 tag = os.path.basename(ckpts[-1]["path"])
                 self.load_checkpoint(save_root, tag)
-                stats_path = os.path.join(save_root, f"{tag}_stats.npz")
-                if os.path.exists(stats_path):
-                    entries = self._embedding_entries()
-                    if entries:
-                        self.stats = self._make_stats(entries[0][1].shape[0])
-                        self.stats.load(stats_path)
+                self._load_stats(save_root, tag)
             # the skip gate must match what the restored STATE contains:
             # delta/base records are published artifacts, not resume
             # points — gating on them would skip passes whose training
@@ -390,7 +641,24 @@ class OnlineTrainer(Trainer):
                     self.write_done(day, -1, path, "base")
                 first = False
 
-                last_metrics = self.train_pass(dirs, day, pass_id)
+                # consume the prefetched dataset if the previous pass
+                # staged it; kick off prefetch of the NEXT pass before
+                # training this one so parse/load overlaps the steps
+                dataset = self._take_prefetched((day, pass_id))
+                if self.prefetch_next_pass:
+                    days = self._day_list()
+                    nxt = self._next_pass_key(
+                        days.index(day), pass_id, days
+                    )
+                    if nxt is not None:
+                        nday, npass, ndirs = nxt
+                        self._start_prefetch(
+                            (nday, npass), ndirs,
+                            seed=int(self.config.runner("seed", 2023))
+                            + npass,
+                        )
+                last_metrics = self.train_pass(dirs, day, pass_id,
+                                               dataset=dataset)
                 trained_this_day = True
 
                 if (pass_id + 1) % self.checkpoint_per_pass == 0:
@@ -406,15 +674,11 @@ class OnlineTrainer(Trainer):
                         # feature-lifecycle state must survive restarts
                         # (the reference persists show/click inside the
                         # PS table)
-                        self.stats.save(os.path.join(
-                            save_root, f"{tag}_stats.npz"
-                        ))
+                        self._save_stats(save_root, tag)
                     self.write_done(day, pass_id, path, "checkpoint")
                 if (pass_id + 1) % self.save_delta_frequency == 0:
                     tag = f"delta_{day}_{pass_id}"
-                    path = ckpt_lib.save_params_only(
-                        jax.device_get(self.state.params), save_root, tag
-                    )
+                    path = self.save_delta(save_root, tag)
                     self.write_done(day, pass_id, path, "delta")
             # end of day: shrink + base model — but never republish a
             # historical day whose passes were all skipped on resume
@@ -424,5 +688,7 @@ class OnlineTrainer(Trainer):
             path = ckpt_lib.save_params_only(
                 jax.device_get(self.state.params), save_root, f"base_{day}"
             )
+            if self._touched is not None:
+                self._touched[:] = False  # deltas count from this base
             self.write_done(day, len(self.pass_intervals) - 1, path, "base")
         return last_metrics

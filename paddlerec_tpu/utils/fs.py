@@ -22,6 +22,17 @@ class LocalFS:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def append_line(self, path: str, line: str) -> None:
+        with self.open(path, "a") as f:
+            f.write(line + "\n")
+
+    def read_text(self, path: str) -> str:
+        with self.open(path, "r") as f:
+            return f.read()
+
     def ls(self, path: str) -> List[str]:
         if os.path.isdir(path):
             return sorted(
@@ -103,6 +114,30 @@ class GCSFS:
     def rm(self, path: str) -> None:
         bucket, key = self._split(path)
         bucket.blob(key).delete()
+
+    def isdir(self, path: str) -> bool:
+        # object stores have no dirs: a "dir" exists if any key lives
+        # under the prefix
+        bucket, key = self._split(path)
+        return any(
+            True for _ in bucket.list_blobs(
+                prefix=key.rstrip("/") + "/", max_results=1
+            )
+        )
+
+    def append_line(self, path: str, line: str) -> None:
+        # GCS has no append: read-modify-write (donefiles are tiny and
+        # single-writer by protocol)
+        prev = ""
+        if self.exists(path):
+            with self.open(path, "r") as f:
+                prev = f.read()
+        with self.open(path, "w") as f:
+            f.write(prev + line + "\n")
+
+    def read_text(self, path: str) -> str:
+        with self.open(path, "r") as f:
+            return f.read()
 
 
 def get_fs(path: str):
