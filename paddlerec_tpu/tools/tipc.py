@@ -37,6 +37,7 @@ MODES = (
     "lite_train_whole_infer",
     "whole_train_whole_infer",
     "whole_infer",
+    "benchmark_train",
 )
 
 
@@ -142,6 +143,107 @@ def run_mode(config_txt: str, mode: str, output_dir: str = "test_tipc/output"):
     return ok
 
 
+def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
+    """benchmark_train mode: the reference's perf-CI matrix
+    (test_tipc/benchmark_train.sh + train_benchmark_params — batch /
+    device_num sweep recording ips per combination, diffed
+    round-over-round).
+
+    Config txt keys (pipe-separated sweeps):
+        benchmark.batch_sizes:512|2048
+        benchmark.device_nums:1|4        # dp width (CPU mesh in CI,
+                                         # chips on hardware)
+        benchmark.steps:64               # steps measured per cell
+    """
+    import json
+
+    import jax
+
+    from paddlerec_tpu.core.config import Config, coerce_value
+
+    spec = parse_config_txt(config_txt, "benchmark_train")
+    model_name = spec.pop("model_name", "model")
+    overrides = {k: coerce_value(v) for k, v in spec.items() if "." in k}
+    batch_sizes = [
+        int(x) for x in str(spec.get("benchmark.batch_sizes", "512")).split("|")
+    ]
+    device_nums = [
+        int(x) for x in str(spec.get("benchmark.device_nums", "1")).split("|")
+    ]
+    steps = int(spec.get("benchmark.steps", 64))
+    os.makedirs(output_dir, exist_ok=True)
+    record_path = os.path.join(
+        output_dir, f"benchmark_train_{model_name}.json"
+    )
+    previous = None
+    if os.path.exists(record_path):
+        try:
+            previous = {
+                (r["batch"], r["devices"]): r["ips"]
+                for r in json.load(open(record_path))["results"]
+            }
+        except Exception:
+            previous = None
+
+    from paddlerec_tpu.parallel.mesh import create_mesh
+    from paddlerec_tpu.train.trainer import Trainer
+
+    results = []
+    avail = len(jax.devices())
+    for devices in device_nums:
+        if devices > avail:
+            print(f"skip device_num {devices} (only {avail} available)")
+            continue
+        for bs in batch_sizes:
+            cfg = Config(dict(
+                overrides,
+                **{
+                    "runner.train_batch_size": bs,
+                    "runner.epochs": 1,
+                    "runner.print_interval": 10_000_000,
+                    "runner.model_save_path": None,
+                },
+            ))
+            mesh = create_mesh(devices, 1, jax.devices()[:devices])
+            trainer = Trainer(cfg, mesh=mesh)
+            t0 = time.time()
+            n = 0
+            trainer.init_state()
+            trainer._train_step = trainer._build_train_step()
+            metric_state = trainer._init_metric_state()
+            dataset = trainer.make_dataset(
+                cfg.runner("train_data_dir"), bs
+            )
+            loss = None
+            for batch in trainer._device_batches(dataset):
+                if n // bs >= steps:
+                    break
+                trainer.state, metric_state, loss = trainer._train_step(
+                    trainer.state, batch, metric_state
+                )
+                n += bs
+            if loss is not None:
+                _ = float(jax.device_get(loss))  # honest sync
+            el = max(time.time() - t0, 1e-9)
+            ips = n / el
+            delta = ""
+            if previous and (bs, devices) in previous:
+                prev = previous[(bs, devices)]
+                delta = f" ({(ips - prev) / prev * 100.0:+.1f}% vs last)"
+            print(
+                f"benchmark_train {model_name}: batch {bs} x {devices} "
+                f"device(s) -> {ips:.1f} ips{delta}"
+            )
+            results.append({"batch": bs, "devices": devices,
+                            "ips": round(ips, 1), "steps": n // bs})
+    with open(record_path, "w") as f:
+        json.dump(
+            {"model": model_name, "results": results, "ts": time.time()}, f
+        )
+    print(f"benchmark record: {record_path}")
+    return bool(results)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TIPC certification")
     parser.add_argument("config_txt")
@@ -149,6 +251,8 @@ def main(argv=None):
                         choices=MODES)
     parser.add_argument("--output_dir", default="test_tipc/output")
     args = parser.parse_args(argv)
+    if args.mode == "benchmark_train":
+        return 0 if run_benchmark(args.config_txt, args.output_dir) else 1
     return 0 if run_mode(args.config_txt, args.mode, args.output_dir) else 1
 
 

@@ -95,3 +95,40 @@ def test_tipc_parse_and_run(tmp_path, criteo_dir):
         tmp_path / "out" / "results_python_lite_train_lite_infer.log"
     ).read_text()
     assert log.count("Run successfully") == 3
+
+
+def test_tipc_benchmark_train_mode(tmp_path):
+    """benchmark_train: the perf-CI matrix mode (reference
+    test_tipc/benchmark_train.sh) — records ips per batch/device cell
+    and diffs round-over-round."""
+    import json
+    import os
+
+    from paddlerec_tpu.tools.tipc import run_benchmark
+
+    cfg = tmp_path / "bench.txt"
+    data = tmp_path / "data"
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+    write_criteo_sample(str(data), num_lines=256, num_files=1, vocab=1000)
+    cfg.write_text(
+        "model_name:dnn\n"
+        "runner.model:rank.dnn\n"
+        f"runner.train_data_dir:{data}\n"
+        "hyper_parameters.sparse_inputs_slots:27\n"
+        "hyper_parameters.dense_input_dim:13\n"
+        "hyper_parameters.sparse_feature_number:1000\n"
+        "hyper_parameters.sparse_feature_dim:8\n"
+        "hyper_parameters.fc_sizes:[16]\n"
+        "benchmark.batch_sizes:32|64\n"
+        "benchmark.device_nums:1|2\n"
+        "benchmark.steps:4\n"
+    )
+    out = tmp_path / "out"
+    assert run_benchmark(str(cfg), str(out))
+    rec = json.load(open(out / "benchmark_train_dnn.json"))
+    cells = {(r["batch"], r["devices"]) for r in rec["results"]}
+    assert (32, 1) in cells and (64, 2) in cells, cells
+    assert all(r["ips"] > 0 for r in rec["results"])
+    # second run diffs against the record without error
+    assert run_benchmark(str(cfg), str(out))
