@@ -105,3 +105,8 @@ def cubekv() -> ctypes.CDLL:
         lib.cube_close.argtypes = [ctypes.c_void_p]
         _cubekv = lib
     return _cubekv
+
+
+def build_cube_server() -> str:
+    """Build (if needed) and return the cube_server daemon binary."""
+    return _build("cube_server", ["cube_server.cpp"], ["-pthread"])

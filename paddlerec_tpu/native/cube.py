@@ -138,3 +138,109 @@ class CubeClient:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class RemoteCubeClient:
+    """Query a cube server FLEET over TCP (the cube_api.h remote client
+    analog — reference predictors never hold the big tables locally,
+    tools/inference/cpp/main.cpp).
+
+    addrs: one "host:port" per shard id — server i must hold shard i
+    (key % num_shards == i); a single entry means one server holds every
+    shard (it routes per key).  The wire protocol is the binary framing
+    documented in native/cube_server.cpp.
+    """
+
+    _REQ_MAGIC = 0x43554251
+    _RESP_MAGIC = 0x43554252
+    _ANY_SHARD = 0xFFFFFFFF
+
+    def __init__(self, addrs: List[str], timeout: float = 10.0):
+        import socket as _socket
+
+        if not addrs:
+            raise ValueError("need at least one cube server address")
+        self.addrs = list(addrs)
+        self._socks = []
+        for a in self.addrs:
+            host, _, port = a.rpartition(":")
+            s = _socket.create_connection(
+                (host or "127.0.0.1", int(port)), timeout=timeout
+            )
+            s.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+            self._socks.append(s)
+        self.dim = self._probe_dim()
+
+    def _roundtrip(self, sock, shard_id: int, keys: np.ndarray) -> np.ndarray:
+        import struct as _struct
+
+        keys = np.ascontiguousarray(keys, np.int64)
+        sock.sendall(
+            _struct.pack("<III", self._REQ_MAGIC, shard_id, len(keys))
+            + keys.tobytes()
+        )
+        header = self._read_exact(sock, 20)
+        magic, status, dim, n, _hits = _struct.unpack("<IIIII", header)
+        if magic != self._RESP_MAGIC or status != 0:
+            raise IOError(f"cube server error (status {status})")
+        vals = self._read_exact(sock, n * dim * 4)
+        return np.frombuffer(vals, np.float32).reshape(n, dim).copy()
+
+    @staticmethod
+    def _read_exact(sock, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            got = sock.recv(n - len(buf))
+            if not got:
+                raise IOError("cube server closed the connection")
+            buf += got
+        return buf
+
+    def _probe_dim(self) -> int:
+        out = self._roundtrip(self._socks[0], self._ANY_SHARD,
+                              np.zeros(0, np.int64))
+        return out.shape[1]
+
+    def seek(self, keys: np.ndarray) -> np.ndarray:
+        """(N,) int64 keys → (N, dim) float32 (zeros on miss), routed
+        key%num_servers across the fleet."""
+        keys = np.ascontiguousarray(keys, np.int64).reshape(-1)
+        ns = len(self._socks)
+        if ns == 1:
+            return self._roundtrip(self._socks[0], self._ANY_SHARD, keys)
+        out = np.zeros((len(keys), self.dim), np.float32)
+        owner = keys % ns
+        for s in range(ns):
+            sel = np.nonzero(owner == s)[0]
+            if not len(sel):
+                continue
+            out[sel] = self._roundtrip(self._socks[s], s, keys[sel])
+        return out
+
+    def close(self) -> None:
+        for s in self._socks:
+            try:
+                s.close()
+            except OSError:
+                pass
+
+
+def start_cube_server(port: int, shard_paths: List[str]):
+    """Launch the cube_server daemon; returns the Popen (caller owns).
+
+    Blocks until the readiness line is printed so tests/clients can
+    connect immediately."""
+    import subprocess
+
+    from paddlerec_tpu.native import build_cube_server
+
+    binary = build_cube_server()
+    proc = subprocess.Popen(
+        [binary, str(port), *shard_paths],
+        stdout=subprocess.PIPE, text=True,
+    )
+    line = proc.stdout.readline()
+    if "serving" not in line:
+        proc.kill()
+        raise RuntimeError(f"cube_server failed to start: {line!r}")
+    return proc
