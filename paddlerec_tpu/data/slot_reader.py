@@ -137,6 +137,7 @@ class SlotDataset:
         seed: int = 0,
         squeeze_ids: bool = True,
         parse_chunk: int = 4096,
+        pipe_command: Optional[str] = None,
     ):
         self.files = list(files)
         self.schema = schema
@@ -146,6 +147,10 @@ class SlotDataset:
         self.seed = seed
         self.squeeze_ids = squeeze_ids and schema.ids_per_slot == 1
         self.parse_chunk = parse_chunk
+        # arbitrary user preprocess subprocess per file (the reference's
+        # QueueDataset pipe_command stage, reader_helper.py:220-233):
+        # `cat file | pipe_command` lines feed the parser
+        self.pipe_command = pipe_command
         self._epoch = 0
 
     def _file_order(self) -> List[str]:
@@ -157,6 +162,26 @@ class SlotDataset:
 
     def _iter_lines(self) -> Iterator[str]:
         for path in self._file_order():
+            if self.pipe_command:
+                import subprocess
+
+                with open(path, "rb") as src:
+                    proc = subprocess.Popen(
+                        self.pipe_command, shell=True, stdin=src,
+                        stdout=subprocess.PIPE, text=True,
+                    )
+                assert proc.stdout is not None
+                for line in proc.stdout:
+                    line = line.strip()
+                    if line:
+                        yield line
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"pipe_command {self.pipe_command!r} failed with "
+                        f"exit code {rc} on {path}"
+                    )
+                continue
             with open(path, "r") as f:
                 for line in f:
                     line = line.strip()

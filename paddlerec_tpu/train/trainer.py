@@ -324,6 +324,7 @@ class Trainer:
             drop_last=drop_last,
             shuffle_files=shuffle,
             seed=int(self.config.runner("seed", 2023)),
+            pipe_command=self.config.runner("pipe_command") or None,
         )
 
     def _wire_encode(self, dataset):

@@ -86,3 +86,71 @@ def test_parse_slot_lines_dense_overflow_dropped():
     out = parse_slot_lines([good, extra], schema)
     assert out["dense"].shape == (2, 3)
     assert abs(out["dense"][1].sum() - 1.5) < 1e-6  # extras dropped
+
+
+def test_pipe_command_reader_stage(tmp_path):
+    """runner.pipe_command: arbitrary preprocess subprocess per file
+    (reference QueueDataset pipe_command, reader_helper.py:220-233).
+    Here the RAW file is csv; the pipe converts to slot format."""
+    import numpy as np
+
+    from paddlerec_tpu.data.schema import SlotSchema
+    from paddlerec_tpu.data.slot_reader import SlotDataset
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text("1,10,20\n0,30,40\n1,50,60\n0,70,80\n")
+    cmd = (
+        "awk -F, '{print \"click:\" $1, \"1:\" $2, \"2:\" $3}'"
+    )
+    schema = SlotSchema(label_slot="click", sparse_slots=["1", "2"])
+    ds = SlotDataset([str(raw)], schema, batch_size=2, pipe_command=cmd)
+    batches = list(ds)
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0]["label"], [1, 0])
+    np.testing.assert_array_equal(batches[0]["sparse"][:, 0], [10, 30])
+    np.testing.assert_array_equal(batches[1]["sparse"][:, 1], [60, 80])
+
+    # failing pipe surfaces, not silently truncates
+    bad = SlotDataset([str(raw)], schema, batch_size=2,
+                      pipe_command="false")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pipe_command"):
+        list(bad)
+
+
+def test_pipe_command_native_criteo_parser(tmp_path):
+    """The C++ criteo parser binary plugs in as a pipe_command — the
+    exact reference deployment shape (tools/dataset/parser.cpp)."""
+    import pytest
+
+    from paddlerec_tpu.native import NativeUnavailable
+
+    try:
+        from paddlerec_tpu.native import build_criteo_parser
+
+        binary = build_criteo_parser()
+    except NativeUnavailable:
+        pytest.skip("no native toolchain")
+    from paddlerec_tpu.data.schema import SlotSchema
+    from paddlerec_tpu.data.slot_reader import SlotDataset
+
+    # raw criteo tsv: label, 13 ints, 26 cat hex strings
+    row = "1\t" + "\t".join(str(i) for i in range(13)) + "\t" + "\t".join(
+        f"a{i:07x}" for i in range(26)
+    )
+    raw = tmp_path / "day0"
+    raw.write_text("\n".join([row, row]) + "\n")
+    schema = SlotSchema(
+        label_slot="click",
+        sparse_slots=[str(i) for i in range(1, 27)],
+        dense_slots=["dense_feature"],
+        dense_dims=[13],
+    )
+    ds = SlotDataset([str(raw)], schema, batch_size=2,
+                     pipe_command=binary)
+    batches = list(ds)
+    assert len(batches) == 1
+    assert batches[0]["label"].tolist() == [1.0, 1.0]
+    assert batches[0]["sparse"].shape == (2, 26)
+    assert (batches[0]["sparse"] > 0).all()
