@@ -1,0 +1,300 @@
+"""JTM: joint tree-model learning (the TDM successor).
+
+Parity target: reference models/treebased/jtm/{tree_learning.py,
+user_preference.py} — alternating optimization:
+
+  1. train the TDM preference model under the CURRENT tree;
+  2. re-learn the tree (Algorithm 2): items descend the tree ``gap``
+     levels at a time; at each stage every item is assigned to the
+     candidate descendant maximizing its user-preference weight
+     (sum of the model's path probabilities over the item's user-sample
+     histories, user_preference.py:36-50), subject to the subtree
+     capacity 2^(l_max - l) with the reference's rebalance rule
+     (tree_learning.py:175-217: keep originally-assigned, then highest
+     weight; displaced items fall to their next-best candidate);
+  3. repeat.
+
+TPU-first: the weight computation is batched through ONE jitted scorer
+(padded sample/code chunks, static shapes) instead of the reference's
+12-process CPU pool; the assignment itself is host numpy.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from paddlerec_tpu.models.treebased.tree import TreeIndex
+
+WeightFn = Callable[[np.ndarray, np.ndarray], np.ndarray]
+
+
+def _ancestor_at(code: int, level: int, branch: int, code_level: int) -> int:
+    for _ in range(code_level - level):
+        code = (code - 1) // branch
+    return code
+
+
+def _level_of(code: int, branch: int) -> int:
+    lv = 0
+    while code > 0:
+        code = (code - 1) // branch
+        lv += 1
+    return lv
+
+
+def descendants_at(tree: TreeIndex, ni: int, level: int) -> np.ndarray:
+    """Codes at ``level`` whose ancestor at level(ni) is ni (only nodes
+    that exist in the tree's level set)."""
+    ni_level = _level_of(ni, tree.branch)
+    cands = tree.level_codes[level]
+    anc = cands.copy()
+    for _ in range(level - ni_level):
+        anc = (anc - 1) // tree.branch
+    return cands[anc == ni]
+
+
+def path_codes(code: int, ni: int, branch: int) -> List[int]:
+    """Codes from ``code`` up to (excluding) ``ni`` — the reference's
+    get_travel_path used for the path-sum weight."""
+    out = []
+    while code != ni and code > 0:
+        out.append(code)
+        code = (code - 1) // branch
+    return out
+
+
+def assign_parent(
+    tree: TreeIndex,
+    l_max: int,
+    l: int,
+    ni: int,
+    items: Sequence[int],
+    weight_fn: WeightFn,
+    origin_level_codes: Dict[int, int],
+) -> Dict[int, int]:
+    """One (ni, level-l) assignment round with capacity rebalancing
+    (reference assign_parent, tree_learning.py:125-227)."""
+    cands = descendants_at(tree, ni, l)
+    if len(cands) == 0:
+        return {}
+    items = list(items)
+    # path-sum weights: W[i, c] = sum over path(c→ni) of the item's
+    # preference for the path node
+    paths = [path_codes(int(c), ni, tree.branch) for c in cands]
+    plen = max(len(p) for p in paths)
+    flat_nodes = []
+    for p in paths:
+        flat_nodes.extend(p + [0] * (plen - len(p)))
+    node_mat = np.asarray(flat_nodes, np.int64).reshape(len(cands), plen)
+    raw = weight_fn(np.asarray(items, np.int64), node_mat.reshape(-1))
+    raw = raw.reshape(len(items), len(cands), plen)
+    pad_mask = np.asarray(
+        [[1.0] * len(p) + [0.0] * (plen - len(p)) for p in paths],
+        np.float32,
+    )
+    W = (raw * pad_mask[None]).sum(-1)  # (items, cands)
+
+    order = np.argsort(-W, axis=1)  # per item: candidate ranks
+    cap = int(math.pow(2, l_max - l))
+    # greedy first choice
+    assign: Dict[int, list] = defaultdict(list)
+    for i, it in enumerate(items):
+        assign[int(cands[order[i, 0]])].append((it, 0, i))
+    processed = set()
+    while True:
+        over_node, over_cnt = None, cap
+        for node, members in assign.items():
+            if node in processed:
+                continue
+            if len(members) > over_cnt:
+                over_node, over_cnt = node, len(members)
+        if over_node is None:
+            break
+        processed.add(over_node)
+        members = assign[over_node]
+        # keep originally-assigned items first, then highest weight
+        members.sort(key=lambda e: (
+            int(over_node != origin_level_codes.get(e[0], -1)),
+            -W[e[2], order[e[2], e[1]]],
+        ))
+        for it, rank, i in members[cap:]:
+            r = rank + 1
+            while r < len(cands):
+                nxt = int(cands[order[i, r]])
+                if nxt in processed:
+                    r += 1
+                    continue
+                assign[nxt].append((it, r, i))
+                break
+        del members[cap:]
+    out = {}
+    for node, members in assign.items():
+        assert len(members) <= cap
+        for it, _, _ in members:
+            assert it not in out
+            out[it] = node
+    return out
+
+
+def tree_learning(
+    tree: TreeIndex,
+    weight_fn: WeightFn,
+    gap: int = 7,
+) -> TreeIndex:
+    """Algorithm 2 (tree_learning.py:230-247): re-assign every item to a
+    leaf, descending ``gap`` levels per stage; returns the NEW tree."""
+    l_max = tree.max_level
+    branch = tree.branch
+    d = min(gap, l_max)
+    l = d
+    items = [int(i) for i in tree.item_ids]
+    pi: Dict[int, int] = {it: 0 for it in items}  # all under the root
+    leaf_code = {int(i): int(c)
+                 for i, c in zip(tree.item_ids, tree.codes)}
+    while True:
+        groups: Dict[int, list] = defaultdict(list)
+        for it, code in pi.items():
+            groups[code].append(it)
+        origin = {
+            it: _ancestor_at(leaf_code[it], l, branch, l_max)
+            for it in items
+        }
+        new_pi: Dict[int, int] = {}
+        for ni, C_ni in groups.items():
+            new_pi.update(
+                assign_parent(tree, l_max, l, ni, C_ni, weight_fn, origin)
+            )
+        pi = new_pi
+        if l >= l_max:
+            break
+        d = min(d, l_max - l)
+        l = l + d
+    codes = np.asarray([pi[it] for it in items], np.int64)
+    return TreeIndex(np.asarray(items, np.int64), codes, branch)
+
+
+# ---------------------------------------------------------------------------
+# Model-driven weights + the alternating JTM loop
+# ---------------------------------------------------------------------------
+
+def collect_sample_sets(
+    dataset, max_samples: int
+) -> Dict[int, np.ndarray]:
+    """item → up to ``max_samples`` user histories (hist_ids, padded) —
+    the reference's samples_<item>.json directory (get_sample_set)."""
+    sets: Dict[int, list] = defaultdict(list)
+    for batch in dataset:
+        hist = np.asarray(batch["hist_ids"])
+        items = np.asarray(batch["item_id"]).reshape(-1)
+        for r in range(len(items)):
+            bucket = sets[int(items[r])]
+            if len(bucket) < max_samples:
+                bucket.append(hist[r])
+    return {
+        k: np.asarray(v)[:max_samples] for k, v in sets.items() if v
+    }
+
+
+def model_weight_fn(
+    model_def,
+    params,
+    sample_sets: Dict[int, np.ndarray],
+    max_samples: int = 4,
+    code_chunk: int = 256,
+) -> WeightFn:
+    """Preference weight via the trained TDM net: w(item, node) =
+    Σ_samples p(positive | user history, node)
+    (user_preference.py calc_prediction_weight)."""
+    import jax
+    import jax.numpy as jnp
+
+    module = model_def.module
+    seq_len = next(iter(sample_sets.values())).shape[1] if sample_sets else 1
+
+    @jax.jit
+    def scores(p, hist, mask, codes):
+        # hist (S, L); codes (M,) → (S, M) positive probabilities
+        logits = module.apply(
+            {"params": p}, hist,
+            mask, jnp.tile(codes[None], (hist.shape[0], 1)),
+        )
+        return jax.nn.softmax(logits, -1)[..., 1]
+
+    def fn(items: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        nodes = np.asarray(nodes, np.int64).reshape(-1)
+        out = np.zeros((len(items), len(nodes)), np.float32)
+        # pad the code axis to a fixed chunk → one compile
+        m_pad = -(-len(nodes) // code_chunk) * code_chunk
+        codes_p = np.zeros(m_pad, np.int64)
+        codes_p[: len(nodes)] = nodes
+        for i, it in enumerate(np.asarray(items).reshape(-1)):
+            hists = sample_sets.get(int(it))
+            if hists is None:
+                continue
+            hist = np.zeros((max_samples, seq_len), np.int64)
+            mask = np.zeros((max_samples, seq_len), np.float32)
+            hist[: len(hists)] = hists
+            mask[: len(hists)] = (hists > 0).astype(np.float32)
+            for c0 in range(0, m_pad, code_chunk):
+                chunk = codes_p[c0 : c0 + code_chunk]
+                s = np.asarray(scores(params, hist, mask, chunk))
+                s = s * (np.arange(max_samples) < len(hists))[:, None]
+                take = min(code_chunk, len(nodes) - c0)
+                if take > 0:
+                    out[i, c0 : c0 + take] = s.sum(0)[:take]
+        return out
+
+    return fn
+
+
+def jtm_train(config, rounds: Optional[int] = None):
+    """The alternating JTM loop: train TDM under the current tree →
+    re-learn the tree from the trained model → repeat.
+
+    Config: a treebased.tdm config plus
+        runner.jtm_rounds (default 2)
+        hyper_parameters.jtm_gap (default 7)
+        hyper_parameters.jtm_sample_nums (default 4)
+    """
+    import jax
+
+    from paddlerec_tpu.core.config import resolve_path
+    from paddlerec_tpu.train.trainer import Trainer, logger
+
+    rounds = int(rounds if rounds is not None
+                 else config.runner("jtm_rounds", 2))
+    gap = int(config.hyper("jtm_gap", 7))
+    sample_nums = int(config.hyper("jtm_sample_nums", 4))
+    trainer = Trainer(config)
+    md = trainer.model_def
+    assert md.tree is not None, "JTM needs hyper_parameters.tree_path"
+    metrics = {}
+    for r in range(rounds):
+        metrics = trainer.train()
+        logger.info(f"[jtm round {r}] model trained: {metrics}")
+        data_dir = resolve_path(config, "runner.train_data_dir")
+        dataset = md.make_dataset(
+            data_dir, int(config.runner("train_batch_size", 32))
+        )
+        samples = collect_sample_sets(dataset, sample_nums)
+        params = jax.device_get(trainer.state.params)
+        wfn = model_weight_fn(md, params, samples, sample_nums)
+        new_tree = tree_learning(md.tree, wfn, gap=gap)
+        md.set_tree(new_tree)
+        save_path = resolve_path(config, "runner.model_save_path")
+        if save_path:
+            import os
+
+            os.makedirs(save_path, exist_ok=True)
+            new_tree.save(os.path.join(save_path, f"jtm_tree_round{r}"))
+        logger.info(
+            f"[jtm round {r}] tree re-learned: depth {new_tree.max_level}, "
+            f"{len(new_tree.item_ids)} items"
+        )
+        # the node-id table keeps its size (total_nodes is unchanged for
+        # a same-depth tree), so training continues with updated codes
+    return metrics, md.tree

@@ -80,10 +80,11 @@ class ModelDef(ModelDef):
         h = config.hyper
         self.node_emb_size = int(h("node_emb_size", 24))
         self.neg_per_layer = int(h("neg_sampling_list", 4))
-        self.fea_groups = tuple(
-            int(x) for x in str(h("fea_groups", "20,20,10,10,2,2,2,1,1,1")
-                                ).split(",")
-        )
+        fg = h("fea_groups", "20,20,10,10,2,2,2,1,1,1")
+        if isinstance(fg, (list, tuple)):  # CLI -o coerces "3,3" to a tuple
+            self.fea_groups = tuple(int(x) for x in fg)
+        else:
+            self.fea_groups = tuple(int(x) for x in str(fg).split(","))
         self.tree: Optional[TreeIndex] = None
         tree_path = config.get("hyper_parameters.tree_path")
         if tree_path:
@@ -253,4 +254,7 @@ class TDMDataset:
             "labels": labels,
             "unit_mask": np.ones(units.shape, np.float32),
             "mask": np.ones(n, np.float32),
+            # target item per row: JTM's sample-set collector groups
+            # user histories by clicked item (models/treebased/jtm.py)
+            "item_id": np.asarray(targets, np.int64),
         }
