@@ -176,10 +176,27 @@ class ModelDef(ModelDef):
         files = shard_files(
             list_data_files(data_dir), jax.process_index(), jax.process_count()
         )
-        return GraphWalkDataset(
-            files, self, batch_size,
-            seed=int(self.config.runner("seed", 2023)),
-        )
+        seed = int(self.config.runner("seed", 2023))
+        engine = str(self.config.runner("graph_engine", "native")).lower()
+        if engine != "python":
+            # native CSR walker/sampler with memory-capped chunked
+            # passes + preload (the PGLBox graph engine analog)
+            from paddlerec_tpu.native import NativeUnavailable
+
+            try:
+                from paddlerec_tpu.data.graph_dataset import (
+                    GraphChunkedDataset,
+                )
+
+                return GraphChunkedDataset(
+                    files, self, batch_size, seed=seed,
+                    num_parts=int(
+                        self.config.runner("graph_num_parts", 4)
+                    ),
+                )
+            except NativeUnavailable:
+                pass  # toolchain-less: python walker below
+        return GraphWalkDataset(files, self, batch_size, seed=seed)
 
 
 # the reference yaml names are first-class models (models/graph/*.yaml)
