@@ -30,6 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeat bench runs skip the multi-minute
+# tunnel compiles (verified working under the axon backend)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_IPS = 45_840_617 / (2 * 3600.0)  # ≈ 6366 examples/s
 
 BATCH = 8192
