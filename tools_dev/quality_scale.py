@@ -1,0 +1,78 @@
+"""Train DeepFM / DCN-v2 to convergence on the Criteo-scale synthetic
+corpus and report test AUC vs the generator's Bayes ceiling
+(VERDICT r1 item 4).  Runs the REAL trainer end-to-end: slotbin mmap →
+wire encode → superbatch staging → jitted step on the chip.
+
+usage: python tools_dev/quality_scale.py <model> <data_dir> [epochs]
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from paddlerec_tpu.core.config import Config  # noqa: E402
+from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "rank.deepfm"
+    data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_scale"
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    meta = json.load(open(os.path.join(data, "meta.json")))
+    cfg = Config({
+        "runner.model": model,
+        "runner.train_data_dir": os.path.join(data, "train"),
+        "runner.test_data_dir": os.path.join(data, "test"),
+        "runner.train_batch_size": 8192,
+        "runner.infer_batch_size": 8192,
+        "runner.epochs": epochs,
+        "runner.print_interval": 500,
+        "runner.wire_format": "compact",
+        "runner.feed_superbatch": 16,
+        "runner.shuffle_files": True,
+        "hyper_parameters.sparse_inputs_slots": 27,
+        "hyper_parameters.sparse_feature_number": meta["vocab"],
+        "hyper_parameters.sparse_feature_dim": 9,
+        "hyper_parameters.dense_input_dim": 13,
+        "hyper_parameters.fc_sizes": [512, 256, 128, 32],
+        "hyper_parameters.sparse_feature_dtype": "bfloat16",
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 0.001,
+    })
+    t = Trainer(cfg)
+    results = {"model": model, "bayes_auc": meta["bayes_auc"],
+               "rows": meta["rows"], "epochs": []}
+    for epoch in range(epochs):
+        t.config["runner.epochs"] = epoch + 1  # train() runs remaining
+        t0 = time.time()
+        train_metrics = _train_one_epoch(t, epoch)
+        train_s = time.time() - t0
+        ev = t.evaluate()
+        results["epochs"].append({
+            "epoch": epoch,
+            "train_auc": round(train_metrics.get("auc", 0.0), 5),
+            "test_auc": round(ev.get("auc", 0.0), 5),
+            "train_s": round(train_s, 1),
+            "train_ips": round(train_metrics.get("ips", 0.0), 0),
+        })
+        print(json.dumps(results["epochs"][-1]), flush=True)
+    print("RESULT " + json.dumps(results), flush=True)
+
+
+def _train_one_epoch(t, epoch):
+    # run exactly one epoch regardless of runner.epochs bookkeeping
+    cfg = t.config
+    cfg["runner.epochs"] = 1
+    metrics = t.train()
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
