@@ -88,7 +88,11 @@ def _jsonable(v) -> bool:
 
 
 def load_exported(export_dir: str) -> Tuple[Any, Any]:
-    """Returns (model_def, params) ready for jit(infer_forward)."""
+    """Returns (model_def, params) ready for jit(infer_forward).
+
+    Transparently handles compressed artifacts (tools/compress.py):
+    quantized tables restore from ``quantized.npz`` and dequantize into
+    the full tree; small leaves come from the orbax checkpoint."""
     from paddlerec_tpu.core.registry import load_model_def
 
     with open(os.path.join(export_dir, "config.json")) as f:
@@ -98,6 +102,22 @@ def load_exported(export_dir: str) -> Tuple[Any, Any]:
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         model_def.init_params(jax.random.PRNGKey(0)),
     )
+    quant_path = os.path.join(export_dir, "quantized.npz")
+    if os.path.exists(quant_path):
+        import numpy as np
+
+        from paddlerec_tpu.ops.sparse_update import set_path
+        from paddlerec_tpu.tools.compress import dequantize_into
+
+        z = np.load(quant_path)
+        names = {k[:-2] for k in z.files if k.endswith("/q")}
+        for name in names:  # placeholders replace the quantized leaves
+            abstract = set_path(
+                abstract, tuple(name.split("/")),
+                jax.ShapeDtypeStruct((0,), jax.numpy.float32),
+            )
+        params = ckpt_lib.load_params_only(export_dir, "params", abstract)
+        return model_def, dequantize_into(params, z)
     params = ckpt_lib.load_params_only(export_dir, "params", abstract)
     return model_def, params
 

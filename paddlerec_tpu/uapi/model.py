@@ -167,8 +167,24 @@ class RankModel:
             return self.infer(tmp, input_path, save_dir, batch_size,
                               config_overrides)
 
-    def compression(self, *args, **kwargs):
-        raise UnsupportedAPIError(
-            "compression (PACT/FPGM distillation) is paddle-engine specific; "
-            "use bf16 params + optax weight decay instead"
-        )
+    def compression(
+        self,
+        weight_path: str,
+        save_dir: str,
+        config_overrides: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        """Post-training compression: export the checkpoint and quantize
+        its embedding tables to int8 with per-row scales (4x smaller
+        artifacts, dequantized once at load — tools/compress.py).
+
+        The reference API runs PaddleSlim auto-compression
+        (uapi_rec/base/model.py); table quantization is the analog that
+        matters for recsys serving (the tables ARE the model size)."""
+        import tempfile
+
+        from paddlerec_tpu.tools.compress import compress_artifact
+
+        with tempfile.TemporaryDirectory() as tmp:
+            self.export(weight_path, tmp,
+                        config_overrides=config_overrides)
+            return compress_artifact(tmp, save_dir)

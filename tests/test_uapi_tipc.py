@@ -57,10 +57,40 @@ def test_uapi_precheck():
         model.train()
 
 
-def test_uapi_compression_unsupported():
-    model = RankModel("dnn", config=dict(SMALL))
-    with pytest.raises(UnsupportedAPIError):
-        model.compression()
+def test_uapi_compression_quantizes_and_predicts(tmp_path, criteo_dir):
+    """compression(): int8 table quantization of the exported artifact;
+    the compressed artifact predicts with near-identical scores
+    (reference uapi ships PaddleSlim auto-compression)."""
+    import json
+    import os
+
+    import numpy as np
+
+    model = RankModel("dnn", config=dict(
+        SMALL, **{"runner.train_data_dir": str(criteo_dir),
+                  "hyper_parameters.sparse_feature_number": 5000}
+    ))
+    save = tmp_path / "trained"
+    model.train(save_dir=str(save))
+    comp = model.compression(str(save / "0"), str(tmp_path / "small"))
+    assert os.path.exists(os.path.join(comp, "quantized.npz"))
+
+    # uncompressed vs compressed artifact predictions agree closely
+    exp = tmp_path / "plain"
+    model.export(str(save / "0"), str(exp))
+    out_a = model.infer(str(exp), str(criteo_dir),
+                        str(tmp_path / "ia"), batch_size=16)
+    out_b = model.infer(str(comp), str(criteo_dir),
+                        str(tmp_path / "ib"), batch_size=16)
+    def preds(path):
+        out = []
+        for l in open(path):
+            rec = json.loads(l)
+            out.append(rec["prediction"] if isinstance(rec, dict) else rec)
+        return out
+
+    pa, pb = preds(out_a), preds(out_b)
+    np.testing.assert_allclose(pa, pb, atol=0.02)
 
 
 def test_tipc_parse_and_run(tmp_path, criteo_dir):
