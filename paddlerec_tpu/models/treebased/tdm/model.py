@@ -88,7 +88,14 @@ class ModelDef(ModelDef):
         self.tree: Optional[TreeIndex] = None
         tree_path = config.get("hyper_parameters.tree_path")
         if tree_path:
-            self.tree = TreeIndex.load(tree_path)
+            import os as _os
+
+            p = str(tree_path)
+            if _os.path.exists(p) or _os.path.exists(p + ".npz"):
+                self.tree = TreeIndex.load(p)
+            # a missing artifact is fine at instantiation time (example
+            # configs ship placeholder paths); training/retrieval assert
+            # a tree with a pointed message
         self.total_nodes = int(
             h("total_nodes", self.tree.total_nodes if self.tree else 2047)
         )
