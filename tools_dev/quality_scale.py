@@ -30,7 +30,7 @@ def main():
         "runner.model": model,
         "runner.train_data_dir": os.path.join(data, "train"),
         "runner.test_data_dir": os.path.join(data, "test"),
-        "runner.train_batch_size": 8192,
+        "runner.train_batch_size": int(os.environ.get("QBS", 8192)),
         "runner.infer_batch_size": 8192,
         "runner.epochs": epochs,
         "runner.print_interval": 500,
@@ -44,7 +44,7 @@ def main():
         "hyper_parameters.fc_sizes": [512, 256, 128, 32],
         "hyper_parameters.sparse_feature_dtype": "bfloat16",
         "hyper_parameters.optimizer.class": "Adam",
-        "hyper_parameters.optimizer.learning_rate": 0.001,
+        "hyper_parameters.optimizer.learning_rate": float(os.environ.get("QLR", 0.001)),
     })
     t = Trainer(cfg)
     results = {"model": model, "bayes_auc": meta["bayes_auc"],

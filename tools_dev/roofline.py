@@ -21,7 +21,7 @@ from paddlerec_tpu.data.synthetic import synthetic_batch
 cfg = Config({
     "runner.train_batch_size": BS,
     "runner.infer_batch_size": BS,
-    "hyper_parameters.optimizer.class": "Adam",
+    "hyper_parameters.optimizer.class": __import__("os").environ.get("ROPT", "Adam"),
     "hyper_parameters.optimizer.learning_rate": 0.001,
     "hyper_parameters.sparse_inputs_slots": 27,
     "hyper_parameters.sparse_feature_number": VOCAB,
