@@ -86,8 +86,6 @@ long gr_load(void* h, const char** files, int nfiles, int symmetry,
              int nthreads) {
   Graph* g = static_cast<Graph*>(h);
   if (nthreads < 1) nthreads = 1;
-  static thread_local int dummy = 0;
-  (void)dummy;
   // persistent raw edge buffer across calls lives in the Graph as the
   // CSR itself: rebuild by merging old CSR edges + new files
   std::vector<EdgeChunk> chunks;

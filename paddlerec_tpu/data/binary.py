@@ -258,8 +258,13 @@ def _convert_one(job) -> str:
     labels, sparse, dense = _parse_text(path, num_sparse, dense_dim,
                                         num_threads)
     if shuffle_seed is not None:
+        import zlib
+
+        # stable per-file seed: Python's hash() is salted per process,
+        # which would make --shuffle conversions irreproducible
+        file_key = zlib.crc32(os.path.basename(path).encode())
         perm = np.random.RandomState(
-            (shuffle_seed + hash(os.path.basename(path))) % (2**31)
+            (shuffle_seed + file_key) % (2**31)
         ).permutation(len(labels))
         labels, sparse = labels[perm], sparse[perm]
         if dense is not None:

@@ -113,9 +113,14 @@ class GraphChunkedDataset:
         return out, None
 
     def __iter__(self):
-        rng = np.random.RandomState(self.seed + self._epoch)
+        # two INDEPENDENT streams: the producer thread (pass shuffles +
+        # walk seeds) must never share a RandomState with the consumer
+        # (_batch neighbor-sample seeds) — RandomState is not
+        # thread-safe and shared access would break seed determinism
+        prod_rng = np.random.RandomState(self.seed + self._epoch)
+        rng = np.random.RandomState(self.seed + self._epoch + 10_000_019)
         self._epoch += 1
-        pass_iter = self._passes(rng)
+        pass_iter = self._passes(prod_rng)
         if self.preload:
             # one-pass-ahead preload thread (the reference's semaphore
             # preload, dataset.py:220-313)

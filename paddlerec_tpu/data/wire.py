@@ -44,6 +44,11 @@ def encode_batch(batch: Dict[str, np.ndarray], vocab: int) -> Dict[str, np.ndarr
         and sparse.ndim == 2
         and np.issubdtype(sparse.dtype, np.integer)
         and 0 < vocab <= (1 << 24)
+        # ACTUAL values must fit too: raw/un-hashed ids >= 2^24 (or
+        # negative padding) would silently truncate — (id mod 2^24) mod
+        # vocab is NOT id mod vocab
+        and sparse.min(initial=0) >= 0
+        and sparse.max(initial=0) < (1 << 24)
     ):
         ids = np.ascontiguousarray(sparse, dtype="<u4")
         b, s = ids.shape

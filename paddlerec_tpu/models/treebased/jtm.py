@@ -123,13 +123,25 @@ def assign_parent(
         ))
         for it, rank, i in members[cap:]:
             r = rank + 1
+            placed = False
             while r < len(cands):
                 nxt = int(cands[order[i, r]])
                 if nxt in processed:
                     r += 1
                     continue
                 assign[nxt].append((it, r, i))
+                placed = True
                 break
+            if not placed:
+                # impossible when |items| <= |cands| * cap (the old
+                # tree's leaves guarantee it); a custom pi that
+                # overfills the subtree would otherwise surface later
+                # as an opaque KeyError
+                raise ValueError(
+                    f"JTM rebalance cannot place item {it}: all "
+                    f"{len(cands)} level-{l} descendants of node {ni} "
+                    f"are at capacity {cap}"
+                )
         del members[cap:]
     out = {}
     for node, members in assign.items():

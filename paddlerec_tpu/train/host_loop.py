@@ -237,7 +237,10 @@ class HostTableTrainer:
             if thr is not None:
                 evicted = self.table.shrink(float(thr))
                 logger.info(f"host table shrink: evicted {evicted} rows")
-            if save_path and jax.process_index() == 0:
+            if save_path:
+                # every process joins the orbax save (rank-0-only calls
+                # deadlock in sync_global_devices); only the primary
+                # writes the host-tier npz
                 self.save(save_path, epoch)
             last_metrics["epoch_time"] = epoch_time
             last_metrics["ips"] = total / max(epoch_time, 1e-9)
@@ -267,14 +270,15 @@ class HostTableTrainer:
             root, epoch,
             extra=jax.device_get(self.trainer.state.extra),
         )
-        np.savez_compressed(
-            os.path.join(path, "host_table.npz"),
-            table=self.table._table,
-            initialized=self.table._initialized,
-            shows=self.table._shows,
-            acc=self.host_acc,
-        )
-        logger.info(f"saved host-table checkpoint to {path}")
+        if jax.process_index() == 0:
+            np.savez_compressed(
+                os.path.join(path, "host_table.npz"),
+                table=self.table._table,
+                initialized=self.table._initialized,
+                shows=self.table._shows,
+                acc=self.host_acc,
+            )
+            logger.info(f"saved host-table checkpoint to {path}")
         return path
 
     def load(self, root: str, tag) -> None:

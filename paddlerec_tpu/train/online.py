@@ -379,7 +379,16 @@ class OnlineTrainer(Trainer):
         """
         from paddlerec_tpu.ops.packed_embedding import sub_width
 
-        out_dir = os.path.join(save_root, tag)
+        final_dir = os.path.join(save_root, tag)
+        # remote roots: build locally, then upload (export_table and
+        # np.savez are local-filesystem writers)
+        remote = "://" in save_root
+        if remote:
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix="delta_")
+        else:
+            out_dir = final_dir
         vocab = getattr(self.model_def, "vocab_size", None) or int(
             self.config.hyper("sparse_feature_number", 0)
         )
@@ -434,9 +443,19 @@ class OnlineTrainer(Trainer):
                 )
         with open(os.path.join(out_dir, "delta_meta.json"), "w") as f:
             json.dump(meta, f)
+        if remote:
+            fs = self._fs(final_dir)
+            for root, _dirs, files in os.walk(out_dir):
+                for fname in files:
+                    local = os.path.join(root, fname)
+                    rel = os.path.relpath(local, out_dir)
+                    fs.upload(local, os.path.join(final_dir, rel))
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
         if self._touched is not None:
             self._touched[:] = False  # next delta counts from here
-        return out_dir
+        return final_dir
 
     # -- global shuffle + pass prefetch ---------------------------------------
     def _prepare_pass(self, dirs: List[str], seed: int):
@@ -510,9 +529,22 @@ class OnlineTrainer(Trainer):
                 for s in self.pass_intervals[p]]
         return (days[d], p, dirs)
 
+    def _data_ready_now(self, pass_dir: str) -> bool:
+        """Non-blocking readiness check (prefetch must NEVER read a pass
+        whose data_donefile marker is absent — a producer may still be
+        writing it)."""
+        fs = self._fs(pass_dir)
+        if not self.data_donefile:
+            return fs.isdir(pass_dir)
+        return fs.exists(os.path.join(pass_dir, self.data_donefile))
+
     def _start_prefetch(self, key, dirs, seed: int) -> None:
         """Overlap the NEXT pass's parse/load with this pass's training
-        (static_ps_online_trainer.py:370-371 prefetch analog)."""
+        (static_ps_online_trainer.py:370-371 prefetch analog).  Only
+        starts when every interval of the next pass is ALREADY ready;
+        otherwise the normal gated path loads it later."""
+        if not all(self._data_ready_now(d) for d in dirs):
+            return
         import threading
 
         def work():
@@ -600,9 +632,10 @@ class OnlineTrainer(Trainer):
         # full state restores from the most recent "checkpoint" record
         done = self.last_done()
         if done:
+            done_path = self._donefile()
             records = [
                 json.loads(l)
-                for l in open(self._donefile()).read().splitlines()
+                for l in self._fs(done_path).read_text(done_path).splitlines()
                 if l.strip()
             ]
             ckpts = [r for r in records if r["kind"] == "checkpoint"]

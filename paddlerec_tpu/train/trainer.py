@@ -337,7 +337,10 @@ class Trainer:
         vocab = int(self.config.hyper("sparse_feature_number", 0))
         return (encode_batch(b, vocab) for b in dataset)
 
-    def _device_batches(self, dataset, allow_super: bool = True) -> Iterable:
+    def _device_batches(self, dataset, allow_super: bool = False) -> Iterable:
+        # allow_super: ONLY Trainer.train's loop understands the
+        # (superbatch, index) tuples; every other consumer (online
+        # passes, geo rounds, eval, tipc benchmark) gets plain batches
         md = self.model_def
         # geo processes feed their local mesh only (no global batches)
         multi = jax.process_count() > 1 and not self._geo_local
@@ -478,6 +481,11 @@ class Trainer:
         from paddlerec_tpu.parallel.mesh import MP_AXIS
 
         if dict(self.mesh.shape).get(MP_AXIS, 1) <= 1:
+            return None
+        if jax.process_count() > 1:
+            # the overflow counts live on non-addressable devices in a
+            # multi-host mesh; device_get would raise. Single-process
+            # probes (incl. the CPU-mesh CI) cover capacity tuning.
             return None
         ids = batch.get("sparse") if isinstance(batch, dict) else None
         if ids is None or getattr(ids, "ndim", 0) != 2:
@@ -708,7 +716,8 @@ class Trainer:
             total_samples = 0
             loss = None
             profiler_options = cfg.runner("profiler_options")
-            for batch_id, batch in enumerate(self._device_batches(dataset)):
+            for batch_id, batch in enumerate(
+                    self._device_batches(dataset, allow_super=True)):
                 if profiler_options:
                     from paddlerec_tpu.utils.profiler import add_profiler_step
 

@@ -259,3 +259,23 @@ def test_superbatch_with_wire_and_tail(tmp_path):
     })
     metrics = Trainer(cfg).train()
     assert metrics["total_ins"] == 112.0
+
+
+def test_wire_skips_out_of_range_ids():
+    """u24 packing must not engage when actual values exceed 2^24 (raw
+    un-hashed ids) or are negative — (id mod 2^24) mod vocab is not
+    id mod vocab."""
+    from paddlerec_tpu.data import wire
+
+    big = {
+        "label": np.zeros(4, np.float32),
+        "sparse": np.array([[2**25], [5], [7], [9]], np.int64),
+    }
+    enc = wire.encode_batch(big, vocab=1000)
+    assert enc["sparse"].dtype != np.uint8  # fell back (i32)
+    neg = {
+        "label": np.zeros(2, np.float32),
+        "sparse": np.array([[-1], [5]], np.int64),
+    }
+    enc2 = wire.encode_batch(neg, vocab=1000)
+    assert enc2["sparse"].dtype != np.uint8
