@@ -250,7 +250,17 @@ def main(argv=None):
     parser.add_argument("mode", nargs="?", default="lite_train_lite_infer",
                         choices=MODES)
     parser.add_argument("--output_dir", default="test_tipc/output")
+    parser.add_argument("--cpu", type=int, default=0, metavar="N",
+                        help="force the CPU backend with N virtual "
+                        "devices (certification runs should not pay "
+                        "accelerator-tunnel init per config)")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        # env vars are hijacked by accelerator plugins; jax.config wins
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(args.cpu))
     if args.mode == "benchmark_train":
         return 0 if run_benchmark(args.config_txt, args.output_dir) else 1
     return 0 if run_mode(args.config_txt, args.mode, args.output_dir) else 1
