@@ -165,9 +165,13 @@ class SlotEmbedding(nn.Module):
         ids = ids.astype(jnp.int32)
         if ext and self._use_distributed():
             raise NotImplementedError(
-                "sparse_update (external_update) is a single-host path; "
-                "with model-parallel tables use the all_to_all engine "
-                "without sparse_update (v1 limitation)"
+                "sparse_update does not compose with model-parallel "
+                "(mp) tables. It is also unnecessary there: row-sharding "
+                "over mp divides the dense optimizer's table traffic AND "
+                "its memory by the mp size, so a 10^8-row table trains "
+                "with plain dense Adam on an 8-chip mp mesh (2 GB of "
+                "table per chip). Use sparse_update for single-chip "
+                "big-vocab capacity, mp sharding for multi-chip."
             )
         if ext and not self.hash_ids:
             raise ValueError(
