@@ -43,7 +43,8 @@ def main():
         "hyper_parameters.dense_input_dim": 13,
         "hyper_parameters.fc_sizes": [512, 256, 128, 32],
         "hyper_parameters.sparse_feature_dtype": "bfloat16",
-        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.class": os.environ.get("QOPT", "Adam"),
+        "hyper_parameters.optimizer.weight_decay": float(os.environ.get("QWD", 1e-4)),
         "hyper_parameters.optimizer.learning_rate": float(os.environ.get("QLR", 0.001)),
     })
     t = Trainer(cfg)
