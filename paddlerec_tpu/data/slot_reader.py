@@ -171,16 +171,27 @@ class SlotDataset:
                         stdout=subprocess.PIPE, text=True,
                     )
                 assert proc.stdout is not None
-                for line in proc.stdout:
-                    line = line.strip()
-                    if line:
-                        yield line
-                rc = proc.wait()
-                if rc != 0:
-                    raise RuntimeError(
-                        f"pipe_command {self.pipe_command!r} failed with "
-                        f"exit code {rc} on {path}"
-                    )
+                # the consumer may abandon this generator mid-file
+                # (drop_last break, eval early-exit): always reap the
+                # child and close its pipe, or every abandoned epoch
+                # leaks a subprocess
+                finished = False
+                try:
+                    for line in proc.stdout:
+                        line = line.strip()
+                        if line:
+                            yield line
+                    finished = True
+                finally:
+                    if not finished and proc.poll() is None:
+                        proc.kill()
+                    proc.stdout.close()
+                    rc = proc.wait()
+                    if finished and rc != 0:
+                        raise RuntimeError(
+                            f"pipe_command {self.pipe_command!r} failed "
+                            f"with exit code {rc} on {path}"
+                        )
                 continue
             with open(path, "r") as f:
                 for line in f:

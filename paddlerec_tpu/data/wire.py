@@ -31,43 +31,87 @@ from typing import Dict
 import numpy as np
 
 
-def encode_batch(batch: Dict[str, np.ndarray], vocab: int) -> Dict[str, np.ndarray]:
-    """Host-side: pack a standard batch into the compact wire layout.
+class WireEncoder:
+    """Stateful encoder that PINS the sparse representation.
 
-    Unknown keys pass through untouched (models with extra fields keep
-    working; only the standard heavy arrays are packed).
+    Choosing u24-vs-i32 per batch from actual id values means a stream
+    whose batches straddle the 2^24 (or int31) boundary flips the sparse
+    dtype/shape batch-to-batch — and every flip recompiles the jitted
+    train step.  The encoder decides on the first batch and only ever
+    ESCALATES (u24 → i32 → passthrough) when a later batch cannot be
+    represented, warning once per escalation: at most two recompiles per
+    stream instead of unbounded flip-flopping, and never a silent
+    truncation ((id mod 2^24) mod vocab is NOT id mod vocab for raw,
+    un-hashed ids).
     """
-    out = dict(batch)
-    sparse = batch.get("sparse")
-    if (
-        sparse is not None
-        and sparse.ndim == 2
-        and np.issubdtype(sparse.dtype, np.integer)
-        and 0 < vocab <= (1 << 24)
-        # ACTUAL values must fit too: raw/un-hashed ids >= 2^24 (or
-        # negative padding) would silently truncate — (id mod 2^24) mod
-        # vocab is NOT id mod vocab
-        and sparse.min(initial=0) >= 0
-        and sparse.max(initial=0) < (1 << 24)
-    ):
-        ids = np.ascontiguousarray(sparse, dtype="<u4")
-        b, s = ids.shape
-        out["sparse"] = ids.view(np.uint8).reshape(b, s, 4)[:, :, :3].copy()
-    elif sparse is not None and sparse.dtype == np.int64:
-        if abs(sparse).max(initial=0) < 2**31:
-            out["sparse"] = sparse.astype(np.int32)
-    dense = batch.get("dense")
-    if dense is not None and dense.dtype == np.float32:
-        out["dense"] = dense.astype(np.float16)
-    label = batch.get("label")
-    if label is not None and label.ndim == 1:
-        as_int = label.astype(np.uint8)
-        if np.array_equal(as_int.astype(label.dtype), label):
-            out["label"] = as_int
-    mask = batch.get("mask")
-    if mask is not None and mask.dtype == np.float32:
-        out["mask"] = mask.astype(np.uint8)
-    return out
+
+    _ORDER = ("u24", "i32", "none")
+
+    def __init__(self, vocab: int):
+        self.vocab = int(vocab)
+        self._mode: str = ""  # decided on first batch
+
+    def _fits(self, sparse: np.ndarray, mode: str) -> bool:
+        if mode == "u24":
+            return (
+                sparse.ndim == 2
+                and 0 < self.vocab <= (1 << 24)
+                and sparse.min(initial=0) >= 0
+                and sparse.max(initial=0) < (1 << 24)
+            )
+        if mode == "i32":
+            return bool(abs(sparse).max(initial=0) < 2**31)
+        return True
+
+    def _pick(self, sparse: np.ndarray, start: str = "u24") -> str:
+        for mode in self._ORDER[self._ORDER.index(start):]:
+            if self._fits(sparse, mode):
+                return mode
+        return "none"
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = dict(batch)
+        sparse = batch.get("sparse")
+        if sparse is not None and np.issubdtype(sparse.dtype, np.integer):
+            if not self._mode:
+                self._mode = self._pick(sparse)
+            elif not self._fits(sparse, self._mode):
+                new_mode = self._pick(sparse, self._mode)
+                import logging
+
+                logging.getLogger("paddlerec_tpu").warning(
+                    "wire encoder: batch ids exceed the pinned %r sparse "
+                    "representation; escalating to %r for the rest of the "
+                    "stream (one train-step recompile)",
+                    self._mode, new_mode,
+                )
+                self._mode = new_mode
+            if self._mode == "u24":
+                ids = np.ascontiguousarray(sparse, dtype="<u4")
+                b, s = ids.shape
+                out["sparse"] = (
+                    ids.view(np.uint8).reshape(b, s, 4)[:, :, :3].copy()
+                )
+            elif self._mode == "i32" and sparse.dtype == np.int64:
+                out["sparse"] = sparse.astype(np.int32)
+        dense = batch.get("dense")
+        if dense is not None and dense.dtype == np.float32:
+            out["dense"] = dense.astype(np.float16)
+        label = batch.get("label")
+        if label is not None and label.ndim == 1:
+            as_int = label.astype(np.uint8)
+            if np.array_equal(as_int.astype(label.dtype), label):
+                out["label"] = as_int
+        mask = batch.get("mask")
+        if mask is not None and mask.dtype == np.float32:
+            out["mask"] = mask.astype(np.uint8)
+        return out
+
+
+def encode_batch(batch: Dict[str, np.ndarray], vocab: int) -> Dict[str, np.ndarray]:
+    """One-shot encode (tests / single batches).  Streams should hold a
+    :class:`WireEncoder` so the sparse representation stays pinned."""
+    return WireEncoder(vocab)(batch)
 
 
 def decode_batch(batch) -> Dict:

@@ -149,6 +149,17 @@ class ModelDef:
     def sparse_update_ids(self, batch: Batch) -> jnp.ndarray:
         return batch["sparse"]
 
+    def touched_tables(self, batch: Batch):
+        """Host-side map of table name → physical row ids this batch
+        touches, for delta publishing / feature-lifecycle bookkeeping
+        (OnlineTrainer) and geo delta push.  Table names are the
+        "/"-joined param tree paths.  Returning ``None`` selects the
+        fused-CTR default (batch["sparse"] mapped through the pack
+        arithmetic onto every table with the fused geometry); models
+        with several independent tables (din/dien-style item+cat)
+        override this so EVERY table gets exact bookkeeping."""
+        return None
+
     def augment_batch_host(self, batch: Batch) -> Batch:
         """Host-side batch enrichment (runs in the input pipeline):
         dedup the batch's physical rows so the device never needs an

@@ -92,3 +92,9 @@ class ModelDef(DINModelDef):
             tuple(config.hyper("attention_sizes", [80, 40])),
             tuple(config.hyper("fc_sizes", [200, 80])),
         )
+
+    def touched_tables(self, batch):
+        # DIN's hook minus item_b (DIEN's net has no item-bias table)
+        out = super().touched_tables(batch)
+        out.pop("item_b/embedding", None)
+        return out

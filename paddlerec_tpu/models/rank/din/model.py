@@ -127,6 +127,26 @@ class ModelDef(ModelDef):
             aux["mask"] = mask
         return loss, aux
 
+    def touched_tables(self, batch):
+        """Exact per-table row bookkeeping for delta publishing: the item
+        and category tables have different row counts, so the fused-CTR
+        default (first-table geometry) cannot cover them (VERDICT r2 W5).
+        Padded history positions are filtered by seq_mask."""
+        live = np.asarray(batch["seq_mask"]) > 0
+        items = np.concatenate([
+            np.asarray(batch["hist_item"])[live].ravel(),
+            np.asarray(batch["target_item"]).ravel(),
+        ])
+        cats = np.concatenate([
+            np.asarray(batch["hist_cat"])[live].ravel(),
+            np.asarray(batch["target_cat"]).ravel(),
+        ])
+        return {
+            "item_emb/embedding": items % self.item_count,
+            "item_b/embedding": items % self.item_count,
+            "cat_emb/embedding": cats % self.cat_count,
+        }
+
     def make_dataset(self, data_dir: str, batch_size: int, shuffle=False):
         files = shard_files(
             list_data_files(data_dir), jax.process_index(), jax.process_count()

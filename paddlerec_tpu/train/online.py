@@ -173,11 +173,16 @@ class OnlineTrainer(Trainer):
             self.split_per_pass,
             bool(config.runner("data_hourly_placed", False)),
         )
-        self.stats: Optional[FeatureStats] = None
+        # per-TABLE feature lifecycle + delta bookkeeping, keyed by the
+        # "/"-joined param path (VERDICT r2 W5: first-table-geometry
+        # bookkeeping silently skipped the other tables of din/dien-style
+        # multi-table models)
+        self.stats: Optional[Dict[str, FeatureStats]] = None
         self._feature_lifecycle = bool(config.runner("feature_lifecycle", True))
         # rows touched since the last published base/delta (mode-1 delta
-        # bookkeeping, flow_helper.py:372-533)
-        self._touched: Optional[np.ndarray] = None
+        # bookkeeping, flow_helper.py:372-533): name → bool mask
+        self._touched: Optional[Dict[str, np.ndarray]] = None
+        self._untracked_warned: set = set()
         self.global_shuffle = bool(config.runner("global_shuffle", False))
         self.prefetch_next_pass = bool(config.runner("prefetch", False))
         self._prefetch_thread = None
@@ -234,9 +239,30 @@ class OnlineTrainer(Trainer):
 
     # -- feature lifecycle ------------------------------------------------------------
     def _embedding_entries(self):
-        """[(path, leaf)] for every sharded/packed table in params."""
+        """[(name, leaf)] for every sharded/packed/flax table in params;
+        name is the "/"-joined param path (the per-table bookkeeping
+        key)."""
         flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
-        return [(p, leaf) for p, leaf in flat if is_embedding_path(p)]
+        return [
+            ("/".join(str(getattr(k, "key", k)) for k in p), leaf)
+            for p, leaf in flat
+            if is_embedding_path(p) and getattr(leaf, "ndim", 0) >= 2
+        ]
+
+    def _ensure_tracking(self) -> bool:
+        """Lazily allocate per-table touched masks + lifecycle stats."""
+        if self._touched is not None:
+            return bool(self._touched)
+        entries = self._embedding_entries()
+        self._touched = {}
+        self.stats = {}
+        for name, leaf in entries:
+            self._touched[name] = np.zeros(leaf.shape[0], bool)
+            if self._feature_lifecycle:
+                self.stats[name] = self._make_stats(leaf.shape[0])
+        if not entries:
+            self._feature_lifecycle = False
+        return bool(entries)
 
     def _observing(self, dataset):
         """Wrap a host-batch iterator: record feature shows BEFORE the
@@ -257,40 +283,106 @@ class OnlineTrainer(Trainer):
                 "table_parameters.delete_after_unseen_days", 30)),
         )
 
-    def _observe_batch(self, batch) -> None:
-        if "sparse" not in batch:
+    def _warn_untracked(self, name: str, why: str) -> None:
+        if name in self._untracked_warned:
             return
-        if self.stats is None:
-            entries = self._embedding_entries()
-            if not entries:
-                self._feature_lifecycle = False  # no tables to track
-                return
-            self.stats = self._make_stats(entries[0][1].shape[0])
-            self._touched = np.zeros(entries[0][1].shape[0], bool)
+        self._untracked_warned.add(name)
+        logger.warning(
+            f"table {name!r} gets NO touched-row bookkeeping ({why}); its "
+            "deltas and eviction are skipped — override "
+            "ModelDef.touched_tables to map batches onto it"
+        )
+
+    def _batch_rows_by_table(self, batch) -> Optional[Dict[str, np.ndarray]]:
+        """name → physical row ids this batch touches.  Uses the model's
+        touched_tables hook when provided; otherwise maps the fused CTR
+        batch["sparse"] through the pack arithmetic onto each table,
+        loudly skipping tables the mapping cannot cover."""
+        if not self._ensure_tracking():
+            return None
+        hooked = self.model_def.touched_tables(batch)
+        if hooked is not None:
+            out = {}
+            for name, rows in hooked.items():
+                if name in self._touched:
+                    out[name] = np.asarray(rows).reshape(-1)
+                else:
+                    self._warn_untracked(
+                        name, "touched_tables names no param table"
+                    )
+            for name in self._touched:
+                if name not in hooked:
+                    self._warn_untracked(name, "absent from touched_tables")
+            return out
+        if "sparse" not in batch:
+            return None
         ids = np.asarray(batch["sparse"]).reshape(-1)
         vocab = getattr(self.model_def, "vocab_size", None)
-        if vocab:
-            ids = ids % vocab
-        rows_total = len(self.stats.show)
-        if vocab:
-            from paddlerec_tpu.ops.sparse_update import infer_pack
+        from paddlerec_tpu.ops.sparse_update import infer_pack
 
-            try:
-                pack = infer_pack(vocab, rows_total)
-            except ValueError:
-                pack = max(1, int(np.ceil(vocab / rows_total)))
-        else:
-            pack = 1
-        rows = (ids // pack) % rows_total
-        # delta bookkeeping is independent of the lifecycle flag: the
-        # mode-1 delta publishes exactly the rows touched since the last
-        # published artifact
-        if self._touched is not None:
-            self._touched[rows] = True
-        if self._feature_lifecycle:
-            self.stats.observe(rows)
+        out = {}
+        for name, mask in self._touched.items():
+            n_rows = len(mask)
+            if vocab:
+                try:
+                    pack = infer_pack(vocab, n_rows)
+                except ValueError:
+                    self._warn_untracked(
+                        name, f"rows {n_rows} do not match vocab {vocab} "
+                        "under any pack factor"
+                    )
+                    continue
+                out[name] = ((ids % vocab) // pack) % n_rows
+            else:
+                out[name] = ids % n_rows
+        return out
+
+    def _observe_batch(self, batch) -> None:
+        rows_by_table = self._batch_rows_by_table(batch)
+        if not rows_by_table:
+            return
+        for name, rows in rows_by_table.items():
+            # delta bookkeeping is independent of the lifecycle flag: the
+            # mode-1 delta publishes exactly the rows touched since the
+            # last published artifact
+            self._touched[name][rows] = True
+            if self._feature_lifecycle and name in self.stats:
+                self.stats[name].observe(rows)
+
+    @staticmethod
+    def _stats_key(name: str) -> str:
+        return name.replace("/", "__")
+
+    def _write_stats_npz(self, path: str) -> None:
+        arrays = {}
+        for name, st in (self.stats or {}).items():
+            k = self._stats_key(name)
+            arrays[f"{k}--show"] = st.show
+            arrays[f"{k}--unseen_days"] = st.unseen_days
+            arrays[f"{k}--seen"] = st.seen
+        np.savez(path, **arrays)
+
+    def _read_stats_npz(self, path: str) -> None:
+        z = np.load(path)
+        if "show" in z.files:  # legacy single-table layout (round 2)
+            entries = self._embedding_entries()
+            if entries and self.stats:
+                name = entries[0][0]
+                if name in self.stats:
+                    st = self.stats[name]
+                    st.show, st.unseen_days, st.seen = (
+                        z["show"], z["unseen_days"], z["seen"])
+            return
+        for name, st in (self.stats or {}).items():
+            k = self._stats_key(name)
+            if f"{k}--show" in z.files:
+                st.show = z[f"{k}--show"]
+                st.unseen_days = z[f"{k}--unseen_days"]
+                st.seen = z[f"{k}--seen"]
 
     def _save_stats(self, save_root: str, tag: str) -> None:
+        if not self.stats:
+            return
         dest = os.path.join(save_root, f"{tag}_stats.npz")
         if "://" in save_root:
             import tempfile
@@ -298,22 +390,19 @@ class OnlineTrainer(Trainer):
             with tempfile.NamedTemporaryFile(suffix=".npz",
                                              delete=False) as t:
                 tmp = t.name
-            self.stats.save(tmp)
+            self._write_stats_npz(tmp)
             self._fs(dest).upload(tmp, dest)
             os.unlink(tmp)
         else:
-            self.stats.save(dest)
+            self._write_stats_npz(dest)
 
     def _load_stats(self, save_root: str, tag: str) -> None:
         src = os.path.join(save_root, f"{tag}_stats.npz")
         fs = self._fs(src)
         if not fs.exists(src):
             return
-        entries = self._embedding_entries()
-        if not entries:
+        if not self._ensure_tracking():
             return
-        self.stats = self._make_stats(entries[0][1].shape[0])
-        self._touched = np.zeros(entries[0][1].shape[0], bool)
         if "://" in save_root:
             import tempfile
 
@@ -321,52 +410,97 @@ class OnlineTrainer(Trainer):
                                              delete=False) as t:
                 tmp = t.name
             fs.download(src, tmp)
-            self.stats.load(tmp)
+            self._read_stats_npz(tmp)
             os.unlink(tmp)
         else:
-            self.stats.load(src)
+            self._read_stats_npz(src)
 
     def shrink(self) -> int:
-        """Evict stale feature rows: zero table rows + optimizer moments."""
-        if self.stats is None:
+        """Evict stale feature rows per table: zero the table's rows and
+        its optimizer moments (matched by param-path name, never by
+        geometry — two tables may share a row count)."""
+        if not self.stats:
             return 0
-        evict_rows = self.stats.end_day()
-        if len(evict_rows) == 0:
-            return 0
-        rows = jnp.asarray(evict_rows, jnp.int32)
-        n_rows = len(self.stats.show)
+        total = 0
+        for name, st in self.stats.items():
+            evict_rows = st.end_day()
+            if len(evict_rows) == 0:
+                continue
+            total += len(evict_rows)
+            self._zero_table_rows(name, evict_rows)
+            logger.info(
+                f"shrink: evicted {len(evict_rows)} stale rows from {name}"
+            )
+        return total
 
-        def zero_rows(path, leaf):
-            # row ids come from the FIRST table's geometry; only tables
-            # with the same row count can be safely evicted by them
-            if (is_embedding_path(path) and leaf.ndim >= 2
-                    and leaf.shape[0] == n_rows):
-                return leaf.at[rows].set(0.0)
+    def _zero_table_rows(self, name: str, evict_rows: np.ndarray) -> None:
+        rows = jnp.asarray(evict_rows, jnp.int32)
+        n_rows = len(self._touched[name])
+        scope = name.rsplit("/", 1)[0]  # module scope owning the table
+
+        def match(path, leaf) -> bool:
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            return (
+                (name in p)
+                and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == n_rows
+            )
+
+        def zero(path, leaf):
+            if match(path, leaf):
+                return leaf.at[rows].set(
+                    0 if jnp.issubdtype(leaf.dtype, jnp.integer) else 0.0
+                )
             return leaf
 
-        params = jax.tree_util.tree_map_with_path(zero_rows, self.state.params)
-        opt_state = jax.tree_util.tree_map_with_path(
-            lambda p, l: l.at[rows].set(0.0)
-            if is_embedding_path(p) and hasattr(l, "ndim") and l.ndim >= 2
-            and l.shape[0] == n_rows
-            else l,
-            self.state.opt_state,
-        )
+        params = jax.tree_util.tree_map_with_path(zero, self.state.params)
+        # optimizer moments mirror the params tree, so their paths contain
+        # the table's path
+        opt_state = jax.tree_util.tree_map_with_path(zero, self.state.opt_state)
         extra = self.state.extra
         if extra is not None:
-            # evicted rows must not keep stale row-wise moments
-            extra = jax.tree.map(
-                lambda l: l.at[rows].set(0)
-                if hasattr(l, "shape") and l.ndim >= 1
-                and l.shape[0] == n_rows else l,
-                extra,
-            )
+            # row-wise moments are keyed by the sibling delta path
+            # ("<scope>/embedding_delta") of this table's scope
+            new_extra = {}
+            for key, st_leafs in extra.items():
+                if key.rsplit("/", 1)[0] == scope:
+                    st_leafs = jax.tree.map(
+                        lambda l: l.at[rows].set(0)
+                        if hasattr(l, "shape") and l.ndim >= 1
+                        and l.shape[0] == n_rows else l,
+                        st_leafs,
+                    )
+                new_extra[key] = st_leafs
+            extra = new_extra
         self.state = self.state.replace(params=params, opt_state=opt_state,
                                         extra=extra)
-        logger.info(f"shrink: evicted {len(evict_rows)} stale feature rows")
-        return len(evict_rows)
 
     # -- delta publishing -----------------------------------------------------
+    def _union_touched(self, mask: np.ndarray) -> np.ndarray:
+        """Multi-host dp: each host only observed its own file shard's
+        batches, so the published delta must cover the UNION of touched
+        rows (writing per-host masks from every process raced on the
+        same files and produced incomplete artifacts — ADVICE r2)."""
+        if jax.process_count() <= 1:
+            return mask
+        from jax.experimental import multihost_utils
+
+        g = multihost_utils.process_allgather(mask)
+        return np.any(np.asarray(g), axis=0)
+
+    def _gather_rows(self, leaf, rows: np.ndarray) -> np.ndarray:
+        """Values of ``rows`` of a (possibly multi-host sharded) table,
+        as a host numpy array — every process must call this in lockstep
+        (it is a collective under process_count>1)."""
+        idx = jnp.asarray(rows)
+        if jax.process_count() > 1:
+            out = jax.jit(
+                lambda t, r: t[r].astype(jnp.float32),
+                out_shardings=self.replicated,
+            )(leaf, idx)
+            return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(leaf[idx]), np.float32)
+
     def save_delta(self, save_root: str, tag: str) -> str:
         """Mode-1 delta: publish ONLY the rows touched since the last
         published artifact, as cube KV shards (logical id → vector).
@@ -397,23 +531,30 @@ class OnlineTrainer(Trainer):
             int(self.config.hyper("sparse_feature_dim", 9)),
         ))
         entries = self._embedding_entries()
-        rows = (np.nonzero(self._touched)[0]
-                if self._touched is not None else np.zeros(0, np.int64))
-        os.makedirs(out_dir, exist_ok=True)
-        meta = {"rows_touched": int(len(rows)), "vocab": int(vocab),
+        primary = jax.process_index() == 0
+        if primary:
+            os.makedirs(out_dir, exist_ok=True)
+        meta = {"rows_touched": 0, "vocab": int(vocab),
                 "dim": dim, "tables": []}
         shards = int(self.config.runner("delta_cube_shards", 1))
-        for path, leaf in entries:
-            if self._touched is None or leaf.shape[0] != len(self._touched):
+        # every table publishes its OWN touched rows; tables without
+        # bookkeeping were already warned about in _batch_rows_by_table
+        for name, leaf in entries:
+            mask = (self._touched or {}).get(name)
+            if mask is None or leaf.shape[0] != len(mask):
+                self._warn_untracked(name, "no touched mask at delta time")
                 continue
-            name = "_".join(str(p.key if hasattr(p, "key") else p)
-                            for p in path)
+            # collective: all hosts compute the union + gather in lockstep
+            mask = self._union_touched(mask)
+            rows = np.nonzero(mask)[0]
+            meta["rows_touched"] += int(len(rows))
+            fname = name.replace("/", "_")
             if len(rows) == 0:
-                meta["tables"].append({"name": name, "keys": 0})
+                meta["tables"].append({"name": fname, "keys": 0})
                 continue
-            sub = np.asarray(
-                jax.device_get(leaf[jnp.asarray(rows)]), np.float32
-            )
+            sub = self._gather_rows(leaf, rows)
+            if not primary:
+                continue
             if sub.ndim == 2 and sub.shape[1] == 128 and vocab:
                 # packed physical rows → logical (id, vector) pairs
                 w = sub_width(dim)
@@ -425,37 +566,41 @@ class OnlineTrainer(Trainer):
                 from paddlerec_tpu.native.cube import export_table
 
                 export_table(
-                    os.path.join(out_dir, name),
+                    os.path.join(out_dir, fname),
                     keys[keep].astype(np.int64),
                     np.ascontiguousarray(vals[keep]), shards,
                 )
                 meta["tables"].append(
-                    {"name": name, "keys": int(keep.sum()), "format": "cube"}
+                    {"name": fname, "keys": int(keep.sum()), "format": "cube"}
                 )
             else:
                 # non-standard layout: raw touched rows
                 np.savez_compressed(
-                    os.path.join(out_dir, f"{name}_delta.npz"),
+                    os.path.join(out_dir, f"{fname}_delta.npz"),
                     rows=rows, values=sub,
                 )
                 meta["tables"].append(
-                    {"name": name, "keys": int(len(rows)), "format": "npz"}
+                    {"name": fname, "keys": int(len(rows)), "format": "npz"}
                 )
-        with open(os.path.join(out_dir, "delta_meta.json"), "w") as f:
-            json.dump(meta, f)
-        if remote:
-            fs = self._fs(final_dir)
-            for root, _dirs, files in os.walk(out_dir):
-                for fname in files:
-                    local = os.path.join(root, fname)
-                    rel = os.path.relpath(local, out_dir)
-                    fs.upload(local, os.path.join(final_dir, rel))
-            import shutil
+        if primary:
+            with open(os.path.join(out_dir, "delta_meta.json"), "w") as f:
+                json.dump(meta, f)
+            if remote:
+                fs = self._fs(final_dir)
+                for root, _dirs, files in os.walk(out_dir):
+                    for fname in files:
+                        local = os.path.join(root, fname)
+                        rel = os.path.relpath(local, out_dir)
+                        fs.upload(local, os.path.join(final_dir, rel))
+                import shutil
 
-            shutil.rmtree(out_dir, ignore_errors=True)
-        if self._touched is not None:
-            self._touched[:] = False  # next delta counts from here
+                shutil.rmtree(out_dir, ignore_errors=True)
+        self._clear_touched()  # next delta counts from here (every host)
         return final_dir
+
+    def _clear_touched(self) -> None:
+        for mask in (self._touched or {}).values():
+            mask[:] = False
 
     # -- global shuffle + pass prefetch ---------------------------------------
     def _prepare_pass(self, dirs: List[str], seed: int):
@@ -608,11 +753,24 @@ class OnlineTrainer(Trainer):
 
         metric_state = self._init_metric_state()
         n = 0
-        for batch in self._device_batches(self._observing(dataset)):
-            self.state, metric_state, loss = self._train_step(
-                self.state, batch, metric_state
-            )
-            n += self._batch_rows(batch)
+        # allow_super: the production hot loop rides the same superbatch
+        # staging as Trainer.train (K host batches per host→device
+        # transfer; runner.feed_superbatch) — the reference's
+        # train_from_dataset pass loop is exactly where feed rate matters
+        # (static_ps_online_trainer.py:556-584)
+        for batch in self._device_batches(self._observing(dataset),
+                                          allow_super=True):
+            if isinstance(batch, tuple):  # (superbatch, index)
+                sb, idx = batch
+                self.state, metric_state, loss = self._train_step_super(
+                    self.state, sb, jnp.int32(idx), metric_state
+                )
+                n += int(next(iter(sb.values())).shape[1])
+            else:
+                self.state, metric_state, loss = self._train_step(
+                    self.state, batch, metric_state
+                )
+                n += self._batch_rows(batch)
         metrics = (
             self._compute_metrics(metric_state) if self.use_auc else {}
         )
@@ -721,7 +879,6 @@ class OnlineTrainer(Trainer):
             path = ckpt_lib.save_params_only(
                 jax.device_get(self.state.params), save_root, f"base_{day}"
             )
-            if self._touched is not None:
-                self._touched[:] = False  # deltas count from this base
+            self._clear_touched()  # deltas count from this base
             self.write_done(day, len(self.pass_intervals) - 1, path, "base")
         return last_metrics

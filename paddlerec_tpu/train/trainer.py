@@ -332,10 +332,13 @@ class Trainer:
         shrinks host→device bytes ~1.6x; decoded inside the jitted step."""
         if str(self.config.runner("wire_format", "")).lower() != "compact":
             return dataset
-        from paddlerec_tpu.data.wire import encode_batch
+        from paddlerec_tpu.data.wire import WireEncoder
 
-        vocab = int(self.config.hyper("sparse_feature_number", 0))
-        return (encode_batch(b, vocab) for b in dataset)
+        # ONE stateful encoder per stream: the sparse representation is
+        # pinned after the first batch (escalate-only), so boundary-
+        # straddling streams can't flip dtypes and recompile every batch
+        enc = WireEncoder(int(self.config.hyper("sparse_feature_number", 0)))
+        return (enc(b) for b in dataset)
 
     def _device_batches(self, dataset, allow_super: bool = False) -> Iterable:
         # allow_super: ONLY Trainer.train's loop understands the

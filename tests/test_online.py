@@ -92,11 +92,13 @@ def test_shrink_zeroes_rows(tmp_path):
     cfg = _online_cfg(tmp_path)
     trainer = OnlineTrainer(cfg)
     trainer.init_state()
-    trainer.stats = FeatureStats(
-        trainer._embedding_entries()[0][1].shape[0],
+    trainer._ensure_tracking()
+    name, leaf = trainer._embedding_entries()[0]
+    trainer.stats = {name: FeatureStats(
+        leaf.shape[0],
         decay=0.0, delete_threshold=10.0,  # evict everything seen
-    )
-    trainer.stats.observe(np.array([1, 2, 3]))
+    )}
+    trainer.stats[name].observe(np.array([1, 2, 3]))
     n = trainer.shrink()
     assert n > 0
     table = np.asarray(trainer._embedding_entries()[0][1])

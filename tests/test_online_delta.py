@@ -99,9 +99,9 @@ def test_delta_resets_after_publish(tmp_path):
                         num_lines=64, num_files=1, vocab=1000)
     trainer = OnlineTrainer(_online_cfg(tmp_path, vocab=1000))
     trainer.run()
-    assert trainer._touched is not None
+    assert trainer._touched
     # base at end-of-day (and the delta save) reset the bookkeeping
-    assert trainer._touched.sum() == 0
+    assert all(m.sum() == 0 for m in trainer._touched.values())
 
 
 def test_global_shuffle_covers_all_rows(tmp_path):
