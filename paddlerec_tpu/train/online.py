@@ -300,42 +300,13 @@ class OnlineTrainer(Trainer):
         loudly skipping tables the mapping cannot cover."""
         if not self._ensure_tracking():
             return None
-        hooked = self.model_def.touched_tables(batch)
-        if hooked is not None:
-            out = {}
-            for name, rows in hooked.items():
-                if name in self._touched:
-                    out[name] = np.asarray(rows).reshape(-1)
-                else:
-                    self._warn_untracked(
-                        name, "touched_tables names no param table"
-                    )
-            for name in self._touched:
-                if name not in hooked:
-                    self._warn_untracked(name, "absent from touched_tables")
-            return out
-        if "sparse" not in batch:
-            return None
-        ids = np.asarray(batch["sparse"]).reshape(-1)
-        vocab = getattr(self.model_def, "vocab_size", None)
-        from paddlerec_tpu.ops.sparse_update import infer_pack
+        from paddlerec_tpu.train.touched import batch_rows_by_table
 
-        out = {}
-        for name, mask in self._touched.items():
-            n_rows = len(mask)
-            if vocab:
-                try:
-                    pack = infer_pack(vocab, n_rows)
-                except ValueError:
-                    self._warn_untracked(
-                        name, f"rows {n_rows} do not match vocab {vocab} "
-                        "under any pack factor"
-                    )
-                    continue
-                out[name] = ((ids % vocab) // pack) % n_rows
-            else:
-                out[name] = ids % n_rows
-        return out
+        return batch_rows_by_table(
+            self.model_def, batch,
+            {name: len(mask) for name, mask in self._touched.items()},
+            warn=self._warn_untracked,
+        )
 
     def _observe_batch(self, batch) -> None:
         rows_by_table = self._batch_rows_by_table(batch)

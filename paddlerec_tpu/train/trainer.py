@@ -69,6 +69,29 @@ class Trainer:
         if str(config.runner("sync_mode", "") or "").lower() == "geo":
             self.geo_k = int(config.runner("geo_k_steps", 100))
         self._geo_local = bool(self.geo_k and jax.process_count() > 1)
+        if self._geo_local:
+            # the rendezvous ships TOUCHED-ROW diffs only (reference geo
+            # sparse k-step diff push), so table updates must stay
+            # confined to rows with gradients.  Plain Adam violates that
+            # (momentum moves every row once its moments are non-zero):
+            # force the row-masked lazy variant.  adamw's weight decay
+            # updates every row every step — unsupported under geo.
+            opt = str(config.hyper("optimizer.class", "Adam")).lower()
+            if opt == "adamw":
+                raise ValueError(
+                    "sync_mode: geo needs update-on-touch table "
+                    "optimizers (touched-row diff push); adamw's weight "
+                    "decay moves every row each step — use adam (lazy), "
+                    "sgd, or adagrad"
+                )
+            if (opt == "adam"
+                    and not bool(config.hyper("optimizer.lazy_mode", False))
+                    and not bool(config.hyper("sparse_update", False))):
+                config["hyper_parameters.optimizer.lazy_mode"] = True
+                logger.info(
+                    "geo mode: forcing Adam lazy_mode so embedding "
+                    "updates stay confined to touched rows"
+                )
         if mesh is None:
             mesh = mesh_from_config(
                 config, jax.local_devices() if self._geo_local else None
@@ -90,6 +113,12 @@ class Trainer:
         self._train_step_super = None
         self._infer_step = None
         self._overflow_strikes = 0
+        self._geo_base = None
+        self._geo_touched = None
+        self._geo_last_sync_bytes = 0
+        import collections
+
+        self._geo_pending_rows = collections.deque()
         self.state: Optional[TrainState] = None
         self.use_auc = bool(config.runner("use_auc", True)) and (
             model_def.metrics in ("auc", "acc")
@@ -535,31 +564,165 @@ class Trainer:
             self._overflow_strikes = 0
         return count
 
-    # -- geo (k-step local SGD) ----------------------------------------------
-    def _geo_sync(self) -> None:
-        """Average params across processes (one DCN-class rendezvous).
+    # -- geo (k-step local SGD with touched-row delta push) -------------------
+    def _geo_param_entries(self):
+        """[(name, leaf)] of the params tree; name = "/"-joined path."""
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        return [
+            ("/".join(str(getattr(k, "key", k)) for k in p), leaf)
+            for p, leaf in flat
+        ]
 
-        train/geo.py holds the in-jit (pmean) variant for single-process
-        meshes; across processes the sync allgathers to the host and
-        averages — exactly the reference geo push/pull cadence
-        (a_sync_configs k_steps)."""
+    def _init_geo_state(self) -> None:
+        """Host-side BASE snapshot: the params every process agreed on at
+        the last rendezvous (identical everywhere — same-seed init, then
+        updated in lockstep by _geo_sync).  Diffs are taken against it,
+        matching the reference's k-step diff-push semantics
+        (program_helper.py:44-51) instead of full-param averaging."""
+        from paddlerec_tpu.parallel.sharding import is_embedding_path
+
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        self._geo_base = {"tables": {}, "dense": {}}
+        self._geo_touched = {}
+        for p, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in p)
+            if is_embedding_path(p) and getattr(leaf, "ndim", 0) >= 2:
+                # copy: device_get may hand back a read-only buffer view,
+                # and the base is mutated in place by the diff apply
+                self._geo_base["tables"][name] = np.array(
+                    jax.device_get(leaf), np.float32, copy=True
+                )
+                self._geo_touched[name] = np.zeros(leaf.shape[0], bool)
+            else:
+                self._geo_base["dense"][name] = np.asarray(
+                    jax.device_get(leaf)
+                )
+        self._geo_last_sync_bytes = 0
+        self._geo_max_sync_bytes = 0
+
+    def _geo_observing(self, dataset):
+        """Compute per-table touched rows (host-side, pre-encode) so the
+        rendezvous ships only k-step row diffs, not whole tables.
+
+        The rows are ENQUEUED here and applied to the touched masks only
+        when the training loop consumes the batch (_geo_mark_consumed):
+        the prefetch thread runs this generator several batches ahead,
+        and marking at read time would let a rendezvous clear rows whose
+        batch is still queued — those rows' diffs would then never be
+        pushed (silent cross-worker divergence)."""
+        from paddlerec_tpu.train.touched import batch_rows_by_table
+
+        for batch in dataset:
+            rows_of = {}
+            if self._geo_touched:
+                rows_map = {n: len(m) for n, m in self._geo_touched.items()}
+                rows_of = batch_rows_by_table(self.model_def, batch, rows_map)
+            self._geo_pending_rows.append(rows_of)
+            yield batch
+
+    def _geo_mark_consumed(self) -> None:
+        """Apply the next pending batch's touched rows (FIFO, 1:1 with
+        yielded batches)."""
+        if self._geo_pending_rows:
+            for name, rows in self._geo_pending_rows.popleft().items():
+                self._geo_touched[name][rows] = True
+
+    def _geo_sync(self, step_counts: np.ndarray) -> None:
+        """One rendezvous: ship k-step DIFFS, apply to the shared base.
+
+        * dense leaves: allgather (current - base), base += sum/n_active.
+          Exhausted workers ship exact zeros and are excluded from the
+          denominator, so stale params never attenuate active workers
+          (ADVICE r2).
+        * embedding tables: allgather only the TOUCHED rows' (ids, diff)
+          — rendezvous bytes ∝ touched rows, the reference's geo sparse
+          diff push — then every process applies the summed diffs to its
+          base and writes the union rows back to the device table.
+        """
         from jax.experimental import multihost_utils
 
-        host = jax.device_get(self.state.params)
-        stacked = multihost_utils.process_allgather(host)
+        n_active = int((np.asarray(step_counts) > 0).sum())
+        self._geo_last_sync_bytes = 0
+        if n_active == 0:
+            return
+        tables = self._geo_base["tables"]
+        entries = dict(self._geo_param_entries())
 
-        def avg(x, cur):
-            x = np.asarray(x)
-            if not np.issubdtype(x.dtype, np.floating):
-                out = x[0]
-            else:
-                out = np.mean(
-                    x.astype(np.float32), axis=0
-                ).astype(x.dtype)
-            return jax.device_put(out, cur.sharding)
+        # dense: one stacked allgather of the float diffs
+        dense_diffs = {}
+        for name, base in self._geo_base["dense"].items():
+            if not np.issubdtype(base.dtype, np.floating):
+                continue  # non-float leaves receive no SGD updates
+            cur = np.asarray(jax.device_get(entries[name]), np.float32)
+            dense_diffs[name] = cur - base.astype(np.float32)
+        gathered = multihost_utils.process_allgather(dense_diffs)
+        new_dense = {}
+        for name, stack in gathered.items():
+            stack = np.asarray(stack)
+            self._geo_last_sync_bytes += stack.nbytes
+            upd = (self._geo_base["dense"][name].astype(np.float32)
+                   + stack.sum(0) / n_active)
+            self._geo_base["dense"][name] = upd
+            new_dense[name] = upd
+
+        # tables: padded-to-max touched-row exchange
+        new_tables = {}
+        for name, base in tables.items():
+            leaf = entries[name]
+            mask = self._geo_touched[name]
+            rows = np.nonzero(mask)[0].astype(np.int64)
+            cnts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([len(rows)], np.int64)
+            )).reshape(-1)
+            cap = int(cnts.max())
+            mask[:] = False
+            if cap == 0:
+                continue
+            rows_pad = np.zeros(cap, np.int64)
+            rows_pad[: len(rows)] = rows
+            diff_pad = np.zeros((cap,) + base.shape[1:], np.float32)
+            if len(rows):
+                vals = np.asarray(
+                    jax.device_get(leaf[jnp.asarray(rows)]), np.float32
+                )
+                diff_pad[: len(rows)] = vals - base[rows]
+            g_rows = np.asarray(multihost_utils.process_allgather(rows_pad))
+            g_diff = np.asarray(multihost_utils.process_allgather(diff_pad))
+            self._geo_last_sync_bytes += g_rows.nbytes + g_diff.nbytes
+            for w in range(g_rows.shape[0]):
+                nw = int(cnts[w])
+                if nw:
+                    # sum-of-diffs: each worker's k-step progress adds
+                    np.add.at(base, g_rows[w, :nw], g_diff[w, :nw])
+            union = np.unique(np.concatenate([
+                g_rows[w, : int(cnts[w])] for w in range(g_rows.shape[0])
+                if int(cnts[w])
+            ]))
+            new_tables[name] = union
+
+        self._geo_max_sync_bytes = max(
+            getattr(self, "_geo_max_sync_bytes", 0),
+            self._geo_last_sync_bytes,
+        )
+
+        # write back: tables via row-scatter, dense via device_put
+        def rebuild(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if name in new_tables:
+                union = new_tables[name]
+                return leaf.at[jnp.asarray(union)].set(
+                    jnp.asarray(tables[name][union], leaf.dtype)
+                )
+            if name in new_dense:
+                return jax.device_put(
+                    new_dense[name].astype(leaf.dtype), leaf.sharding
+                )
+            return leaf
 
         self.state = self.state.replace(
-            params=jax.tree.map(avg, stacked, self.state.params)
+            params=jax.tree_util.tree_map_with_path(
+                rebuild, self.state.params
+            )
         )
 
     def _geo_merge_metrics(self, metric_state):
@@ -571,18 +734,18 @@ class Trainer:
         stacked = multihost_utils.process_allgather(host)
         return jax.tree.map(lambda x: np.sum(np.asarray(x), axis=0), stacked)
 
-    def _geo_rendezvous(self, has_more: bool) -> bool:
+    def _geo_rendezvous(self, has_more: bool, local_steps: int) -> bool:
         """k-step barrier: sync params, learn whether ANY process still
         has data.  Every process calls this in lockstep (active processes
-        after k local steps, exhausted ones with has_more=False) so the
-        collective sequence matches across hosts."""
+        after k local steps, exhausted ones with has_more=False and zero
+        steps) so the collective sequence matches across hosts."""
         from jax.experimental import multihost_utils
 
-        flags = multihost_utils.process_allgather(
-            np.asarray([1 if has_more else 0], np.int32)
-        )
-        self._geo_sync()
-        return bool(np.max(flags) > 0)
+        flags = np.asarray(multihost_utils.process_allgather(
+            np.asarray([1 if has_more else 0, local_steps], np.int64)
+        )).reshape(-1, 2)
+        self._geo_sync(flags[:, 1])
+        return bool(flags[:, 0].max() > 0)
 
     def _train_epoch_geo(self, dataset, metric_state, epoch: int,
                          print_interval: int):
@@ -591,7 +754,12 @@ class Trainer:
         joining rendezvous (with zero local steps) until every process
         is done, so the collective sequence never diverges even with
         uneven file shards."""
-        it = iter(self._device_batches(dataset))
+        if getattr(self, "_geo_base", None) is None:
+            self._init_geo_state()
+        import collections
+
+        self._geo_pending_rows = collections.deque()
+        it = iter(self._device_batches(self._geo_observing(dataset)))
         total = 0
         steps = 0
         loss = None
@@ -605,6 +773,7 @@ class Trainer:
                 except StopIteration:
                     exhausted = True
                     break
+                self._geo_mark_consumed()
                 self.state, metric_state, loss = self._train_step(
                     self.state, batch, metric_state
                 )
@@ -623,7 +792,7 @@ class Trainer:
                     )
             if loss is not None:
                 jax.block_until_ready(loss)
-            more = self._geo_rendezvous(not exhausted)
+            more = self._geo_rendezvous(not exhausted, done_in_round)
             logger.info(
                 f"geo sync: worker {jax.process_index()} after "
                 f"{done_in_round} local steps "

