@@ -302,6 +302,28 @@ class ModelDef:
         clip = cfg.hyper("clip_by_norm")
         if clip and not self.sparse_update_enabled():
             tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        el2 = float(cfg.hyper("embedding_l2", 0.0) or 0.0)
+        if el2 and not self.sparse_update_enabled():
+            # decoupled per-step weight decay on the embedding TABLES
+            # only: rows with few gradient hits decay toward 0 while
+            # frequently-hit rows are dominated by their gradients —
+            # exactly the posterior-shrinkage shape, so multi-epoch
+            # training stops memorizing tail ids (the MAP analog of the
+            # PS accessors' regularization).  update -= lr * el2 * w.
+            lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
+
+            def emb_mask(params):
+                from paddlerec_tpu.parallel.sharding import (
+                    is_embedding_path,
+                )
+
+                return jax.tree_util.tree_map_with_path(
+                    lambda p, _: is_embedding_path(p), params
+                )
+
+            tx = optax.chain(
+                tx, optax.add_decayed_weights(-el2 * lr, mask=emb_mask)
+            )
         # sparse runs clip ONCE over the whole grads tree in the trainer
         # (clip_grads) so dense and row-wise updates share one norm —
         # a per-transform clip would see only the non-frozen leaves
@@ -508,9 +530,16 @@ class CTRModelDef(ModelDef):
 
     def train_forward(self, params: Any, batch: Batch) -> Tuple[jnp.ndarray, Aux]:
         with self._embed_context():
-            logits = self.module.apply(
-                {"params": params}, *self.model_inputs(batch)
+            # mutable intermediates: SlotEmbedding sows the all_to_all
+            # exchange's dropped-id count there (mp>1 only); surfaced in
+            # aux so the trainer accumulates it psum-exactly in-graph
+            logits, muts = self.module.apply(
+                {"params": params}, *self.model_inputs(batch),
+                mutable=["intermediates"],
             )
+        overflow_leaves = jax.tree_util.tree_leaves(
+            muts.get("intermediates", {})
+        )
         logits = logits.reshape(-1)
         labels = batch["label"].reshape(-1).astype(jnp.float32)
         mask = batch.get("mask")
@@ -521,4 +550,8 @@ class CTRModelDef(ModelDef):
         }
         if mask is not None:
             aux["mask"] = mask
+        if overflow_leaves:
+            aux["embedding_overflow"] = sum(
+                jnp.sum(leaf).astype(jnp.int32) for leaf in overflow_leaves
+            )
         return loss, aux

@@ -166,12 +166,18 @@ class SlotEmbedding(nn.Module):
         if ext and self._use_distributed():
             raise NotImplementedError(
                 "sparse_update does not compose with model-parallel "
-                "(mp) tables. It is also unnecessary there: row-sharding "
-                "over mp divides the dense optimizer's table traffic AND "
-                "its memory by the mp size, so a 10^8-row table trains "
-                "with plain dense Adam on an 8-chip mp mesh (2 GB of "
-                "table per chip). Use sparse_update for single-chip "
-                "big-vocab capacity, mp sharding for multi-chip."
+                "(mp) tables. It is also unnecessary below the HBM "
+                "bound: row-sharding over mp divides the dense "
+                "optimizer's table traffic AND its memory by the mp "
+                "size, so a 10^8-row table trains with plain dense Adam "
+                "on an 8-chip mp mesh (2 GB of table per chip). The "
+                "supported regimes: sparse_update for single-chip "
+                "big-vocab capacity (vocab up to ~10^8-10^9 rows bounded "
+                "by host RAM via use_host_table), mp sharding for "
+                "multi-chip up to ~2x10^9 rows at dim 9 on 8 chips "
+                "(f32 table + Adam moments fill 16 GB HBM/chip beyond "
+                "that). Vocabularies past BOTH bounds need the composed "
+                "mode, which this build deliberately does not implement."
             )
         if ext and not self.hash_ids:
             raise ValueError(
@@ -196,7 +202,14 @@ class SlotEmbedding(nn.Module):
                 * jnp.asarray(self.init_stddev, dtype),
             )
             flat_ids = ids.reshape(ids.shape[0], -1)
-            vecs = eng.lookup(table, flat_ids)
+            vecs, overflow = eng.lookup_with_overflow(table, flat_ids)
+            # in-graph overflow observability (works on ANY mesh, incl.
+            # multi-host where host-side probing cannot read the counts):
+            # the trainer accumulates this into the metric bundle
+            self.sow(
+                "intermediates", "embedding_overflow",
+                jnp.sum(overflow).astype(jnp.int32),
+            )
             vecs = vecs.reshape(ids.shape + (self.embedding_dim,))
         elif self.packed:
             table = self.param(

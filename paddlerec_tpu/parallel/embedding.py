@@ -256,18 +256,18 @@ class ShardedEmbedding:
         self, table: jnp.ndarray, ids: jnp.ndarray
     ) -> jnp.ndarray:
         """ids: (B, S) int — returns (B, S, embedding_dim)."""
-        return self._lookup_fn(ids.shape)(table, ids)
+        return self._lookup_fn(ids.shape)(table, ids)[0]
 
     def lookup_with_overflow(self, table, ids):
-        """Same as lookup but also returns the per-(dp,mp) overflow counts."""
-        fn = self._build(ids.shape, with_overflow=True)
-        return fn(table, ids)
+        """lookup + the per-(dp,mp) overflow counts (differentiable in
+        the table; the counts carry no gradient)."""
+        return self._lookup_fn(ids.shape)(table, ids)
 
     @functools.lru_cache(maxsize=32)
     def _lookup_fn(self, ids_shape: Tuple[int, ...]):
-        return self._build(ids_shape, with_overflow=False)
+        return self._build(ids_shape)
 
-    def _build(self, ids_shape, with_overflow: bool):
+    def _build(self, ids_shape):
         n_global = int(np.prod(ids_shape))
         n_devices = self.dp * self.mp
         # pad the flat id list so it splits evenly over every device;
@@ -295,7 +295,10 @@ class ShardedEmbedding:
 
         @jax.custom_vjp
         def lookup(table, ids):
-            return _fwd_impl(table, ids)[0]
+            # returns (vecs, overflow): the overflow count rides the
+            # normal forward so ANY mesh (incl. multi-host) can
+            # accumulate it in-graph — no host-side probing needed.
+            return _fwd_impl(table, ids)
 
         def _fwd_impl(table, ids):
             phys, sub = _flat_phys_sub(ids)
@@ -309,11 +312,11 @@ class ShardedEmbedding:
             return vecs[:, :e].reshape(ids_shape + (e,)), overflow
 
         def fwd(table, ids):
-            out, _ = _fwd_impl(table, ids)
-            return out, (ids, table)
+            return _fwd_impl(table, ids), (ids, table)
 
         def bwd(res, g):
             ids, table = res
+            g, _g_overflow = g  # overflow output carries no gradient
             phys, sub = _flat_phys_sub(ids)
             g = g.reshape(-1, e).astype(table.dtype)
             if w != e:
@@ -331,7 +334,4 @@ class ShardedEmbedding:
             return (dtable, None)
 
         lookup.defvjp(fwd, bwd)
-
-        if with_overflow:
-            return lambda table, ids: _fwd_impl(table, ids)
         return lookup

@@ -53,6 +53,21 @@ class HostTableTrainer:
         from paddlerec_tpu.parallel.host_table import HostTieredTable
 
         self.config = config
+        if jax.process_count() > 1:
+            # VERDICT r2 W4: with >1 process each host's tier would train
+            # on its own file shard and silently diverge (the inner
+            # Trainer shares a global mesh but HostTieredTable/host_acc
+            # are per-process host state).  Refuse loudly, like
+            # sparse_update x mp does, until row-range sharding lands.
+            raise ValueError(
+                "use_host_table does not compose with multi-process "
+                "training: the host tier (table + adagrad accumulator) "
+                "is per-process state, so each host would train a "
+                "diverging copy on its own file shard. Run host-table "
+                "mode single-process (it exists for host-RAM capacity, "
+                "not dp scale), or use sparse_update + multi-host dp for "
+                "distributed big-vocab training."
+            )
         self.vocab = int(config.hyper("sparse_feature_number", 1000001))
         self.cap_rows = int(config.runner("host_table_cache_rows", 1 << 18))
         self.files_per_pass = int(config.runner("files_per_pass", 1))

@@ -53,10 +53,12 @@ def test_dp_only_and_mp_only_meshes(tmp_path, low_shard_threshold):
         assert np.isfinite(metrics["auc"]), (dp, mp)
 
 
-def test_overflow_probe_detects_skewed_ids(tmp_path, low_shard_threshold):
+def test_overflow_counter_detects_skewed_ids(tmp_path, low_shard_threshold):
     """Adversarially skewed (non-hashed) ids overflow one shard's
-    exchange bucket; the probe must detect it and raise after the
-    configured strike count (VERDICT r1 W5 — overflow was silent)."""
+    exchange bucket; the IN-STEP counter (sowed by SlotEmbedding,
+    accumulated in the metric state — works on any mesh, unlike the
+    round-2 host-side probe) must grow, and _check_overflow must raise
+    after the configured strike count (VERDICT r1 W5 / r2 item 4a)."""
     write_criteo_sample(str(tmp_path / "train"), num_lines=64, num_files=1,
                         vocab=10000)
     mesh = create_mesh(1, 8)
@@ -65,6 +67,9 @@ def test_overflow_probe_detects_skewed_ids(tmp_path, low_shard_threshold):
     cfg["runner.overflow_raise_after"] = 2
     trainer = Trainer(cfg, mesh=mesh)
     trainer.init_state()
+    step = trainer._build_train_step()
+    metric_state = trainer._init_metric_state()
+    assert "embedding_overflow" in metric_state  # mp>1 carries the counter
 
     # every id lands on shard 0's row range (first rows_local*pack ids)
     # with enough DISTINCT rows per device slice to blow the ~1.5x
@@ -77,15 +82,24 @@ def test_overflow_probe_detects_skewed_ids(tmp_path, low_shard_threshold):
         "dense": np.zeros((bs, 13), np.float32),
         "mask": np.ones(bs, np.float32),
     }
-    count = trainer._overflow_probe(skewed)
-    assert count is not None and count > 0, count
+    db = jax.device_put(skewed, trainer.batch_sharding)
+    trainer.state, metric_state, _ = step(trainer.state, db, metric_state)
+    count = int(jax.device_get(metric_state["embedding_overflow"]))
+    assert count > 0, count
+    trainer._check_overflow(metric_state)
     assert trainer._overflow_strikes == 1
+    trainer.state, metric_state, _ = step(trainer.state, db, metric_state)
     with pytest.raises(RuntimeError, match="overflow"):
-        trainer._overflow_probe(skewed)
+        trainer._check_overflow(metric_state)
 
     # well-hashed ids do not overflow and reset the strike counter
     trainer._overflow_strikes = 1
     rng = np.random.RandomState(0)
     uniform = dict(skewed, sparse=rng.randint(0, 10000, (bs, 26)))
-    assert trainer._overflow_probe(uniform) == 0
+    db = jax.device_put(uniform, trainer.batch_sharding)
+    before = int(jax.device_get(metric_state["embedding_overflow"]))
+    trainer.state, metric_state, _ = step(trainer.state, db, metric_state)
+    after = int(jax.device_get(metric_state["embedding_overflow"]))
+    assert after == before
+    trainer._check_overflow(metric_state)
     assert trainer._overflow_strikes == 0

@@ -42,10 +42,14 @@ def main():
         "hyper_parameters.sparse_feature_dim": 9,
         "hyper_parameters.dense_input_dim": 13,
         "hyper_parameters.fc_sizes": [512, 256, 128, 32],
-        "hyper_parameters.sparse_feature_dtype": "bfloat16",
+        "hyper_parameters.sparse_feature_dtype": os.environ.get(
+            "QDT", "bfloat16"),
         "hyper_parameters.optimizer.class": os.environ.get("QOPT", "Adam"),
         "hyper_parameters.optimizer.weight_decay": float(os.environ.get("QWD", 1e-4)),
         "hyper_parameters.optimizer.learning_rate": float(os.environ.get("QLR", 0.001)),
+        "hyper_parameters.optimizer.lazy_mode":
+            os.environ.get("QLAZY", "") == "1",
+        "hyper_parameters.embedding_l2": float(os.environ.get("QEL2", 0.0)),
     })
     t = Trainer(cfg)
     results = {"model": model, "bayes_auc": meta["bayes_auc"],
