@@ -147,14 +147,29 @@ void serve_conn(int fd) {
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    fprintf(stderr, "usage: %s <port> <shard0.bin> [shard1.bin ...]\n",
+    fprintf(stderr,
+            "usage: %s <port> [--bind ADDR] <shard0.bin> [shard1.bin ...]\n"
+            "  default bind is 0.0.0.0 (the fleet is remote by design);\n"
+            "  pass --bind 127.0.0.1 for loopback-only deployments\n",
             argv[0]);
     return 2;
   }
   signal(SIGPIPE, SIG_IGN);
   int port = atoi(argv[1]);
+  // remote predictors are the POINT of the cube fleet (doc/serving.md
+  // 'host0:9527' topology) — bind all interfaces unless told otherwise
+  in_addr_t bind_addr = htonl(INADDR_ANY);
+  int first_shard = 2;
+  if (first_shard + 1 < argc && strcmp(argv[first_shard], "--bind") == 0) {
+    if (inet_pton(AF_INET, argv[first_shard + 1], &bind_addr) != 1) {
+      fprintf(stderr, "cube_server: bad --bind address %s\n",
+              argv[first_shard + 1]);
+      return 2;
+    }
+    first_shard += 2;
+  }
   long dim0 = -1;
-  for (int i = 2; i < argc; ++i) {
+  for (int i = first_shard; i < argc; ++i) {
     Shard s;
     s.handle = cube_open(argv[i]);
     if (!s.handle) {
@@ -168,7 +183,7 @@ int main(int argc, char** argv) {
     }
     dim0 = s.dim;
     int gid = shard_id_from_path(argv[i]);
-    if (gid < 0) gid = i - 2;  // fallback: positional
+    if (gid < 0) gid = i - first_shard;  // fallback: positional
     if (static_cast<size_t>(gid) >= g_shards.size())
       g_shards.resize(gid + 1);
     g_shards[gid] = s;
@@ -180,7 +195,7 @@ int main(int argc, char** argv) {
   setsockopt(srv, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
-  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_addr.s_addr = bind_addr;
   addr.sin_port = htons(static_cast<uint16_t>(port));
   if (bind(srv, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
     perror("cube_server: bind");

@@ -171,20 +171,39 @@ class RemoteCubeClient:
             self._socks.append(s)
         self.dim = self._probe_dim()
 
-    def _roundtrip(self, sock, shard_id: int, keys: np.ndarray) -> np.ndarray:
+    # pure framing functions: the wire GRAMMAR lives here so the
+    # golden-bytes fixtures (tests/fixtures/cube_wire/) can pin it
+    # byte-for-byte — the contract the Go/Java clients and the C++
+    # server all implement
+    @classmethod
+    def encode_request(cls, shard_id: int, keys: np.ndarray) -> bytes:
+        """u32 'QBUC' | u32 shard_id | u32 n | i64 keys[n] (all LE)."""
         import struct as _struct
 
-        keys = np.ascontiguousarray(keys, np.int64)
-        sock.sendall(
-            _struct.pack("<III", self._REQ_MAGIC, shard_id, len(keys))
+        keys = np.ascontiguousarray(keys, "<i8")
+        return (
+            _struct.pack("<III", cls._REQ_MAGIC, shard_id, len(keys))
             + keys.tobytes()
         )
+
+    @classmethod
+    def decode_response_header(cls, header: bytes):
+        """20-byte header → (status, dim, n, hits); raises on bad magic."""
+        import struct as _struct
+
+        magic, status, dim, n, hits = _struct.unpack("<IIIII", header)
+        if magic != cls._RESP_MAGIC:
+            raise IOError(f"bad cube response magic {magic:#x}")
+        return status, dim, n, hits
+
+    def _roundtrip(self, sock, shard_id: int, keys: np.ndarray) -> np.ndarray:
+        sock.sendall(self.encode_request(shard_id, keys))
         header = self._read_exact(sock, 20)
-        magic, status, dim, n, _hits = _struct.unpack("<IIIII", header)
-        if magic != self._RESP_MAGIC or status != 0:
+        status, dim, n, _hits = self.decode_response_header(header)
+        if status != 0:
             raise IOError(f"cube server error (status {status})")
         vals = self._read_exact(sock, n * dim * 4)
-        return np.frombuffer(vals, np.float32).reshape(n, dim).copy()
+        return np.frombuffer(vals, "<f4").reshape(n, dim).copy()
 
     @staticmethod
     def _read_exact(sock, n: int) -> bytes:
