@@ -143,17 +143,27 @@ def run_mode(config_txt: str, mode: str, output_dir: str = "test_tipc/output"):
     return ok
 
 
+REGRESSION_TOLERANCE = 0.20  # CI fails on >20% ips drop vs last record
+
+
 def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     """benchmark_train mode: the reference's perf-CI matrix
     (test_tipc/benchmark_train.sh + train_benchmark_params — batch /
     device_num sweep recording ips per combination, diffed
-    round-over-round).
+    round-over-round; >20% regression vs the last committed record
+    FAILS the run).
+
+    Measurement protocol (VERDICT r2 W6: compile-dominated 4-step cells
+    are useless as baselines): the cell's device batches are staged
+    once, 3 warmup steps trigger compilation, then >=50 steps are timed
+    over the recycled batches with an honest loss readback at the end —
+    pure step throughput, stable enough to diff across rounds.
 
     Config txt keys (pipe-separated sweeps):
         benchmark.batch_sizes:512|2048
         benchmark.device_nums:1|4        # dp width (CPU mesh in CI,
                                          # chips on hardware)
-        benchmark.steps:64               # steps measured per cell
+        benchmark.steps:64               # measured steps per cell
     """
     import json
 
@@ -165,12 +175,13 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     model_name = spec.pop("model_name", "model")
     overrides = {k: coerce_value(v) for k, v in spec.items() if "." in k}
     batch_sizes = [
-        int(x) for x in str(spec.get("benchmark.batch_sizes", "512")).split("|")
+        int(x) for x in str(spec.get("benchmark.batch_sizes", "64|256")).split("|")
     ]
     device_nums = [
-        int(x) for x in str(spec.get("benchmark.device_nums", "1")).split("|")
+        int(x) for x in str(spec.get("benchmark.device_nums", "1|4")).split("|")
     ]
-    steps = int(spec.get("benchmark.steps", 64))
+    steps = max(int(spec.get("benchmark.steps", 64)), 50)
+    warmup = 3
     os.makedirs(output_dir, exist_ok=True)
     record_path = os.path.join(
         output_dir, f"benchmark_train_{model_name}.json"
@@ -189,6 +200,7 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     from paddlerec_tpu.train.trainer import Trainer
 
     results = []
+    regressions = []
     avail = len(jax.devices())
     for devices in device_nums:
         if devices > avail:
@@ -206,41 +218,70 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
             ))
             mesh = create_mesh(devices, 1, jax.devices()[:devices])
             trainer = Trainer(cfg, mesh=mesh)
-            t0 = time.time()
-            n = 0
             trainer.init_state()
             trainer._train_step = trainer._build_train_step()
             metric_state = trainer._init_metric_state()
             dataset = trainer.make_dataset(
                 cfg.runner("train_data_dir"), bs
             )
-            loss = None
+            # stage the cell's batches ONCE (lite data is small); the
+            # timed loop recycles them so reader cost and compile time
+            # never pollute the baseline
+            staged = []
             for batch in trainer._device_batches(dataset):
-                if n // bs >= steps:
+                staged.append(batch)
+                if len(staged) >= steps:
                     break
+            if not staged:
+                print(f"benchmark_train {model_name}: no data for "
+                      f"batch {bs}; skipping cell")
+                continue
+            loss = None
+            for i in range(warmup):
                 trainer.state, metric_state, loss = trainer._train_step(
-                    trainer.state, batch, metric_state
+                    trainer.state, staged[i % len(staged)], metric_state
                 )
-                n += bs
-            if loss is not None:
-                _ = float(jax.device_get(loss))  # honest sync
+            _ = float(jax.device_get(loss))  # compile + warmup fence
+            t0 = time.time()
+            for i in range(steps):
+                trainer.state, metric_state, loss = trainer._train_step(
+                    trainer.state, staged[i % len(staged)], metric_state
+                )
+            _ = float(jax.device_get(loss))  # honest sync
             el = max(time.time() - t0, 1e-9)
-            ips = n / el
+            ips = steps * bs / el
             delta = ""
+            regressed = False
             if previous and (bs, devices) in previous:
                 prev = previous[(bs, devices)]
-                delta = f" ({(ips - prev) / prev * 100.0:+.1f}% vs last)"
+                rel = (ips - prev) / prev
+                delta = f" ({rel * 100.0:+.1f}% vs last)"
+                if rel < -REGRESSION_TOLERANCE:
+                    regressed = True
+                    regressions.append(
+                        {"batch": bs, "devices": devices,
+                         "ips": round(ips, 1), "prev_ips": prev,
+                         "drop_pct": round(-rel * 100.0, 1)}
+                    )
             print(
                 f"benchmark_train {model_name}: batch {bs} x {devices} "
-                f"device(s) -> {ips:.1f} ips{delta}"
+                f"device(s) -> {ips:.1f} ips over {steps} steps{delta}"
+                + (" REGRESSION" if regressed else "")
             )
             results.append({"batch": bs, "devices": devices,
-                            "ips": round(ips, 1), "steps": n // bs})
+                            "ips": round(ips, 1), "steps": steps})
     with open(record_path, "w") as f:
         json.dump(
-            {"model": model_name, "results": results, "ts": time.time()}, f
+            {"model": model_name, "results": results,
+             "regressions": regressions, "warmup": warmup,
+             "backend": jax.default_backend(), "ts": time.time()}, f
         )
     print(f"benchmark record: {record_path}")
+    if regressions:
+        print(f"benchmark_train {model_name} FAILED: "
+              f"{len(regressions)} cell(s) regressed "
+              f">{REGRESSION_TOLERANCE:.0%}")
+        return False
     return bool(results)
 
 

@@ -1,0 +1,67 @@
+"""Round-over-round benchmark_train diff summary (VERDICT r2 W6).
+
+Collects every test_tipc/output/benchmark_train_<model>.json into ONE
+summary record with the per-model ips matrix and the regression list;
+exits non-zero when any model regressed >20% vs its previous record
+(the per-model records store their own regression findings — this tool
+aggregates them so CI has a single artifact + exit code to gate on).
+
+usage: python -m paddlerec_tpu.tools.tipc_benchmark_summary [output_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+
+def summarize(output_dir: str = "test_tipc/output") -> dict:
+    records = {}
+    regressions = []
+    for path in sorted(glob.glob(
+        os.path.join(output_dir, "benchmark_train_*.json")
+    )):
+        rec = json.load(open(path))
+        model = rec.get("model", os.path.basename(path))
+        records[model] = {
+            "cells": rec.get("results", []),
+            "backend": rec.get("backend"),
+        }
+        for r in rec.get("regressions", []):
+            regressions.append(dict(r, model=model))
+    summary = {
+        "models": len(records),
+        "cells": sum(len(r["cells"]) for r in records.values()),
+        "regressions": regressions,
+        "records": records,
+        "ts": time.time(),
+    }
+    out = os.path.join(output_dir, "benchmark_summary.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(
+        f"benchmark summary: {summary['models']} models, "
+        f"{summary['cells']} cells, "
+        f"{len(regressions)} regression(s) -> {out}"
+    )
+    for r in regressions:
+        print(
+            f"  REGRESSION {r['model']} batch {r['batch']} x "
+            f"{r['devices']}dev: {r['prev_ips']} -> {r['ips']} ips "
+            f"(-{r['drop_pct']}%)"
+        )
+    return summary
+
+
+def main(argv=None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    output_dir = args[0] if args else "test_tipc/output"
+    summary = summarize(output_dir)
+    return 1 if summary["regressions"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,12 @@ def main(argv=None):
         from paddlerec_tpu.train.host_loop import HostTableTrainer
 
         trainer = HostTableTrainer(config)
+    elif str(config.runner("sync_mode", "") or "").lower() == "fl":
+        # federated rounds over private per-process shards (FL-PS
+        # analog, train/fl.py)
+        from paddlerec_tpu.train.fl import FLTrainer
+
+        trainer = FLTrainer(config)
     else:
         trainer = Trainer(config)
     metrics = trainer.train()

@@ -625,7 +625,8 @@ class Trainer:
             for name, rows in self._geo_pending_rows.popleft().items():
                 self._geo_touched[name][rows] = True
 
-    def _geo_sync(self, step_counts: np.ndarray) -> None:
+    def _geo_sync(self, step_counts: np.ndarray,
+                  weights: Optional[np.ndarray] = None) -> None:
         """One rendezvous: ship k-step DIFFS, apply to the shared base.
 
         * dense leaves: allgather (current - base), base += sum/n_active.
@@ -636,6 +637,10 @@ class Trainer:
           — rendezvous bytes ∝ touched rows, the reference's geo sparse
           diff push — then every process applies the summed diffs to its
           base and writes the union rows back to the device table.
+
+        ``weights``: optional per-worker aggregation weights (the FedAvg
+        path, train/fl.py) — applied to BOTH dense and table diffs
+        (base += Σ w_k·Δ_k) instead of the geo mean/sum semantics.
         """
         from jax.experimental import multihost_utils
 
@@ -643,6 +648,12 @@ class Trainer:
         self._geo_last_sync_bytes = 0
         if n_active == 0:
             return
+        if weights is None:
+            active = (np.asarray(step_counts) > 0).astype(np.float32)
+            dense_w = active / n_active
+            table_w = np.ones_like(active)
+        else:
+            dense_w = table_w = np.asarray(weights, np.float32)
         tables = self._geo_base["tables"]
         entries = dict(self._geo_param_entries())
 
@@ -659,7 +670,7 @@ class Trainer:
             stack = np.asarray(stack)
             self._geo_last_sync_bytes += stack.nbytes
             upd = (self._geo_base["dense"][name].astype(np.float32)
-                   + stack.sum(0) / n_active)
+                   + np.tensordot(dense_w, stack, axes=1))
             self._geo_base["dense"][name] = upd
             new_dense[name] = upd
 
@@ -689,9 +700,11 @@ class Trainer:
             self._geo_last_sync_bytes += g_rows.nbytes + g_diff.nbytes
             for w in range(g_rows.shape[0]):
                 nw = int(cnts[w])
-                if nw:
-                    # sum-of-diffs: each worker's k-step progress adds
-                    np.add.at(base, g_rows[w, :nw], g_diff[w, :nw])
+                if nw and table_w[w]:
+                    # geo: sum-of-diffs (each worker's k-step progress
+                    # adds); fl: weighted FedAvg contribution
+                    np.add.at(base, g_rows[w, :nw],
+                              g_diff[w, :nw] * table_w[w])
             union = np.unique(np.concatenate([
                 g_rows[w, : int(cnts[w])] for w in range(g_rows.shape[0])
                 if int(cnts[w])
