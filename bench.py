@@ -204,19 +204,33 @@ def main():
     # fresh state for the disk-fed leg (the synthetic leg donated its)
     state, metric_state, _, _ = build(model_rng=1)
     disk_ips, link_mbps = bench_disk(state, metric_state, super_step)
-    print(
-        json.dumps(
-            {
-                "metric": "deepfm_criteo_train_ips",
-                "value": round(ips, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(ips / REFERENCE_IPS, 2),
-                "disk_fed_ips": round(disk_ips, 1),
-                "feed_link_MBps": round(link_mbps, 1),
-                "wire_B_per_example": 106,
-            }
+    record = {
+        "metric": "deepfm_criteo_train_ips",
+        "value": round(ips, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(ips / REFERENCE_IPS, 2),
+        "disk_fed_ips": round(disk_ips, 1),
+        "feed_link_MBps": round(link_mbps, 1),
+        "wire_B_per_example": 106,
+    }
+    # Direct-attached-host verification hook (VERDICT r2 item 10): the
+    # "PCIe hosts feed the full device rate" claim is an extrapolation
+    # only while this runs over the ~50 MB/s tunnel.  The moment the
+    # driver runs on a direct-attached TPU host (link >1 GB/s), this
+    # turns the claim into a measured ASSERTION: disk-fed must reach
+    # >=80% of the device rate or the bench fails loudly.
+    if link_mbps > 1000:
+        record["direct_host_check"] = (
+            "pass" if disk_ips >= 0.8 * ips else "FAIL"
         )
-    )
+        if disk_ips < 0.8 * ips:
+            record["direct_host_detail"] = (
+                f"disk-fed {disk_ips:.0f} < 80% of device rate {ips:.0f} "
+                "on a direct-attached link — feed pipeline regression"
+            )
+    print(json.dumps(record))
+    if record.get("direct_host_check") == "FAIL":
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

@@ -195,6 +195,22 @@ class HostTableTrainer:
         )
         fpp = max(self.files_per_pass, 1)
         passes = [files[i : i + fpp] for i in range(0, len(files), fpp)]
+        # fast feed (VERDICT r2 item 2): the pass loop rides the same
+        # compact wire + superbatch staging as Trainer.train — the
+        # GPUBox hot loop is exactly where feed rate matters
+        wire_enc = None
+        if str(cfg.runner("wire_format", "")).lower() == "compact":
+            from paddlerec_tpu.data.wire import WireEncoder
+
+            wire_enc = WireEncoder(self.cap_rows * self.pack)
+        super_k = int(cfg.runner("feed_superbatch", 0) or 0)
+        sb_sharding = None
+        if super_k > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from paddlerec_tpu.parallel.sharding import DP_AXIS
+
+            sb_sharding = NamedSharding(t.mesh, P(None, DP_AXIS))
         last_metrics: Dict[str, float] = {}
         for epoch in range(epochs):
             metric_state = t._init_metric_state()
@@ -219,14 +235,38 @@ class HostTableTrainer:
                         "the cache or lower files_per_pass"
                     )
                 u, key, table_path = self._swap_in_pass(phys)
+                prepared = []
                 for b in batches:
-                    b = self._translate_batch(b)
-                    b = t.model_def.augment_batch_host(b)
-                    db = jax.device_put(b, t.batch_sharding)
-                    t.state, metric_state, loss = t._train_step(
-                        t.state, db, metric_state
+                    b = t.model_def.augment_batch_host(
+                        self._translate_batch(b)
                     )
-                    total += t._batch_rows(b)
+                    if wire_enc is not None:
+                        b = wire_enc(b)
+                    prepared.append(b)
+                if super_k > 1 and len(prepared) > 1:
+                    if t._train_step_super is None:
+                        t._train_step = t._build_train_step()
+                    for g0 in range(0, len(prepared), super_k):
+                        group = prepared[g0 : g0 + super_k]
+                        sb = {
+                            k2: np.stack([x[k2] for x in group])
+                            for k2 in group[0]
+                        }
+                        db = jax.device_put(sb, sb_sharding)
+                        for i in range(len(group)):
+                            t.state, metric_state, loss = (
+                                t._train_step_super(
+                                    t.state, db, jnp.int32(i), metric_state
+                                )
+                            )
+                            total += t._batch_rows(group[i])
+                else:
+                    for b in prepared:
+                        db = jax.device_put(b, t.batch_sharding)
+                        t.state, metric_state, loss = t._train_step(
+                            t.state, db, metric_state
+                        )
+                        total += t._batch_rows(b)
                 if loss is not None:
                     jax.block_until_ready(loss)
                 self._flush_pass(phys, key, table_path)

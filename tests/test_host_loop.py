@@ -127,3 +127,22 @@ hyper_parameters:
     )
     metrics = main(["-m", str(cfg_path)])
     assert metrics["total_ins"] == 144.0
+
+
+def test_host_table_superbatch_wire_feed(data_dir):
+    """The GPUBox pass loop rides the fast feed (compact wire + staged
+    superbatches) and trains the same instance count as the plain path
+    (VERDICT r2 item 2: production loops fed at the slow rate)."""
+    from paddlerec_tpu.train.host_loop import HostTableTrainer
+
+    plain = HostTableTrainer(_config(data_dir))
+    m_plain = plain.train()
+    fast = HostTableTrainer(_config(
+        data_dir, **{"runner.wire_format": "compact",
+                     "runner.feed_superbatch": 2}
+    ))
+    m_fast = fast.train()
+    assert m_fast["total_ins"] == m_plain["total_ins"] > 0
+    # identical data + seed: the staged/encoded path reproduces the
+    # plain path's training outcome
+    assert abs(m_fast["auc"] - m_plain["auc"]) < 1e-6, (m_fast, m_plain)
