@@ -47,11 +47,20 @@ def main():
     # tools_dev/calibrate_gen.py so the estimation-aware ceiling
     # (posterior_oracle.py) lands Criteo-like (~0.80).
     ap.add_argument("--freq_weight", action="store_true")
+    # v3 (round-3 finding): slot-UNIQUE feasigns — each slot draws
+    # skewed local ids from its own disjoint range, all effects live in
+    # feasign space (tools_dev/synth_model.py).  v1/v2 let one feasign
+    # be hot in all 26 slots with 26 different effects, which no
+    # feasign-indexed table can represent; real Criteo's hashed buckets
+    # are effectively slot-unique, so v3 is BOTH learnable and realistic.
+    ap.add_argument("--v3", action="store_true")
     ap.add_argument("--scale_w", type=float, default=2.5)
     ap.add_argument("--scale_lat", type=float, default=2.5)
     ap.add_argument("--kappa_w", type=float, default=696.0)
     ap.add_argument("--kappa_lat", type=float, default=2899.0)
     args = ap.parse_args()
+    if args.v3:
+        return gen_v3(args)
 
     rng = np.random.RandomState(args.seed)
     V = args.vocab
@@ -131,6 +140,61 @@ def main():
             "sigma_scale_w": args.scale_w,
             "sigma_scale_lat": args.scale_lat,
         })
+    with open(f"{args.out}/meta.json", "w") as f:
+        json.dump(meta, f)
+    print(json.dumps(meta))
+
+
+def gen_v3(args):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import synth_model as sm
+
+    from paddlerec_tpu.core.metrics import auc_from_buckets
+
+    V = args.vocab
+    meta = {
+        "rows": args.rows, "test_rows": args.test_rows, "vocab": V,
+        "seed": args.seed, "bias": -1.1, "generator": "v3",
+        "freq_kappa_w": args.kappa_w, "freq_kappa_lat": args.kappa_lat,
+        "sigma_scale_w": args.scale_w, "sigma_scale_lat": args.scale_lat,
+    }
+    w, lat, beta, bias = sm.planted_effects(meta)
+    os.makedirs(f"{args.out}/train", exist_ok=True)
+    os.makedirs(f"{args.out}/test", exist_ok=True)
+
+    def gen_split(n_rows, sub, seed0, collect_bayes=False):
+        probs_all, labels_all = [], []
+        part, done = 0, 0
+        while done < n_rows:
+            n = min(args.chunk, n_rows - done)
+            r = np.random.RandomState(seed0 + part)
+            fs, dense = sm.draw_rows(r, n, V)
+            s = sm.score(fs, dense, w, lat, beta, bias)
+            p = 1.0 / (1.0 + np.exp(-s))
+            labels = (r.rand(n) < p).astype(np.float32)
+            write_slotbin(
+                f"{args.out}/{sub}/part-{part:03d}.bin",
+                labels, fs.astype(np.int32), dense,
+            )
+            if collect_bayes:
+                probs_all.append(p.astype(np.float32))
+                labels_all.append(labels)
+            done += n
+            part += 1
+            if part % 10 == 0:
+                print(f"{sub}: {done}/{n_rows}", flush=True)
+        return ((np.concatenate(probs_all), np.concatenate(labels_all))
+                if collect_bayes else (None, None))
+
+    gen_split(args.rows, "train", args.seed * 7 + 1)
+    p, y = gen_split(args.test_rows, "test", args.seed * 13 + 5,
+                     collect_bayes=True)
+    buckets = 1 << 12
+    b = np.clip((p * buckets).astype(np.int64), 0, buckets - 1)
+    pos = np.bincount(b, weights=y, minlength=buckets)
+    neg = np.bincount(b, weights=1 - y, minlength=buckets)
+    meta["bayes_auc"] = round(float(auc_from_buckets(pos, neg)), 5)
+    meta["positive_rate"] = round(float(y.mean()), 5)
     with open(f"{args.out}/meta.json", "w") as f:
         json.dump(meta, f)
     print(json.dumps(meta))

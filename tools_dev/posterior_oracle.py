@@ -32,6 +32,7 @@ present (v2 corpora) and default to the round-2 values otherwise.
 """
 import glob
 import json
+import os
 import sys
 
 import numpy as np
@@ -73,9 +74,67 @@ def planted_truth(meta):
     return w, lat, beta, bias
 
 
+def main_v3(data: str, meta: dict):
+    """v3 corpora: slot-unique feasigns, effects in feasign space
+    (tools_dev/synth_model.py) — the oracle here IS achievable by a
+    feasign-indexed table model."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import synth_model as sm
+
+    w, lat, beta, bias = sm.planted_effects(meta)
+    n_fs = len(w)
+    counts = np.zeros(n_fs, np.int64)
+    for p in sorted(glob.glob(f"{data}/train/*.bin")):
+        f = SlotBinFile(p)
+        fs = np.asarray(f.sparse)[:, :, 0].reshape(-1)
+        counts += np.bincount(fs, minlength=n_fs)[:n_fs]
+    print("train counts done", flush=True)
+
+    test_parts = sorted(glob.glob(f"{data}/test/*.bin"))
+    info_num, info_den = 0.0, 0
+    for p in test_parts[:2]:
+        f = SlotBinFile(p)
+        fs = np.asarray(f.sparse)[:, :, 0]
+        s_ = sm.score(fs, np.asarray(f.dense), w, lat, beta, bias)
+        pr = 1 / (1 + np.exp(-s_))
+        info_num += float((pr * (1 - pr)).sum())
+        info_den += len(pr)
+    info = info_num / info_den
+    print(f"fisher info/obs = {info:.4f}", flush=True)
+
+    w_mean, lat_mean, w_post, lat_post = sm.posterior_effects(
+        w, lat, counts, info
+    )
+    buckets = 1 << 12
+    scorers = {
+        "bayes": (w, lat),
+        "oracle_mean": (w_mean, lat_mean),
+        "oracle": (w_post, lat_post),
+        "lr_ceiling": (w_post, np.zeros_like(lat_post)),
+    }
+    acc = {k: (np.zeros(buckets), np.zeros(buckets)) for k in scorers}
+    for p in test_parts:
+        f = SlotBinFile(p)
+        fs = np.asarray(f.sparse)[:, :, 0]
+        dense = np.asarray(f.dense)
+        y = np.asarray(f.labels)
+        for k, (wk, lk) in scorers.items():
+            s_ = sm.score(fs, dense, wk, lk, beta, bias)
+            pr = 1 / (1 + np.exp(-s_))
+            b_ = np.clip((pr * buckets).astype(np.int64), 0, buckets - 1)
+            pos, neg = acc[k]
+            pos += np.bincount(b_, weights=y, minlength=buckets)
+            neg += np.bincount(b_, weights=1 - y, minlength=buckets)
+    out = {k: round(float(auc_from_buckets(*acc[k])), 5) for k in acc}
+    out["fisher_info"] = round(info, 4)
+    print("ORACLE " + json.dumps(out), flush=True)
+
+
 def main():
     data = sys.argv[1] if len(sys.argv) > 1 else "/root/criteo_scale"
     meta = json.load(open(f"{data}/meta.json"))
+    if meta.get("generator") == "v3":
+        return main_v3(data, meta)
     V = int(meta["vocab"])
     w, lat, beta, bias = planted_truth(meta)
 
