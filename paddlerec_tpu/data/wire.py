@@ -53,11 +53,16 @@ class WireEncoder:
 
     def _fits(self, sparse: np.ndarray, mode: str) -> bool:
         if mode == "u24":
+            # values >= 2^24 do NOT break u24: they are reduced mod
+            # vocab first (consumers hash ids by vocab anyway, and
+            # vocab <= 2^24 here), keeping the output SHAPE stable for
+            # the whole stream — a mid-stream shape flip would crash
+            # np.stack inside superbatch staging.  Only NEGATIVE ids
+            # (sentinel semantics that mod would corrupt) escalate.
             return (
                 sparse.ndim == 2
                 and 0 < self.vocab <= (1 << 24)
                 and sparse.min(initial=0) >= 0
-                and sparse.max(initial=0) < (1 << 24)
             )
         if mode == "i32":
             return bool(abs(sparse).max(initial=0) < 2**31)
@@ -87,6 +92,8 @@ class WireEncoder:
                 )
                 self._mode = new_mode
             if self._mode == "u24":
+                if sparse.max(initial=0) >= (1 << 24):
+                    sparse = sparse % self.vocab  # see _fits: hash early
                 ids = np.ascontiguousarray(sparse, dtype="<u4")
                 b, s = ids.shape
                 out["sparse"] = (

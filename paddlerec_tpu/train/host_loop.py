@@ -244,10 +244,22 @@ class HostTableTrainer:
                         b = wire_enc(b)
                     prepared.append(b)
                 if super_k > 1 and len(prepared) > 1:
-                    if t._train_step_super is None:
-                        t._train_step = t._build_train_step()
-                    for g0 in range(0, len(prepared), super_k):
-                        group = prepared[g0 : g0 + super_k]
+                    def _sig(b):
+                        return {k2: (v.shape, v.dtype)
+                                for k2, v in b.items()}
+
+                    g0 = 0
+                    while g0 < len(prepared):
+                        # groups split at shape/dtype boundaries (ragged
+                        # tail, wire escalation) so np.stack never sees
+                        # ragged inputs and no batch is dropped
+                        cut = g0 + 1
+                        while (cut < min(g0 + super_k, len(prepared))
+                               and _sig(prepared[cut])
+                               == _sig(prepared[g0])):
+                            cut += 1
+                        group = prepared[g0:cut]
+                        g0 = cut
                         sb = {
                             k2: np.stack([x[k2] for x in group])
                             for k2 in group[0]

@@ -410,9 +410,12 @@ class OnlineTrainer(Trainer):
         scope = name.rsplit("/", 1)[0]  # module scope owning the table
 
         def match(path, leaf) -> bool:
+            # exact component-suffix match — `name in p` would also hit
+            # a DIFFERENT table whose path merely contains this name
+            # (e.g. 'user_emb/embedding' vs 'emb/embedding')
             p = "/".join(str(getattr(k, "key", k)) for k in path)
             return (
-                (name in p)
+                (p == name or p.endswith("/" + name))
                 and hasattr(leaf, "ndim") and leaf.ndim >= 1
                 and leaf.shape[0] == n_rows
             )

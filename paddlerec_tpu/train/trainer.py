@@ -84,6 +84,15 @@ class Trainer:
                     "decay moves every row each step — use adam (lazy), "
                     "sgd, or adagrad"
                 )
+            if float(config.hyper("embedding_l2", 0.0) or 0.0):
+                raise ValueError(
+                    "sync_mode: geo does not compose with embedding_l2 "
+                    "for the same reason as adamw: the decoupled decay "
+                    "moves EVERY table row each local step, but the "
+                    "rendezvous only ships touched-row diffs — untouched "
+                    "rows would decay by different amounts on workers "
+                    "with uneven shards and silently diverge"
+                )
             if (opt == "adam"
                     and not bool(config.hyper("optimizer.lazy_mode", False))
                     and not bool(config.hyper("sparse_update", False))):
@@ -450,9 +459,21 @@ class Trainer:
             yield jax.device_put(batch, self.batch_sharding)
 
     def _staged_superbatches(self, dataset, k: int):
+        def sig(b):
+            return {key: (v.shape, v.dtype) for key, v in b.items()}
+
         def stacked():
             buf = []
             for b in dataset:
+                if buf and sig(b) != sig(buf[0]):
+                    # shape/dtype changed mid-stream (tail batch, wire
+                    # escalation): flush what's staged rather than
+                    # crashing np.stack on ragged inputs
+                    yield {
+                        key: np.stack([x[key] for x in buf])
+                        for key in buf[0]
+                    }
+                    buf = []
                 buf.append(b)
                 if len(buf) == k:
                     yield {
@@ -597,6 +618,7 @@ class Trainer:
                 )
         self._geo_last_sync_bytes = 0
         self._geo_max_sync_bytes = 0
+        self._geo_untracked_warned = set()
 
     def _geo_observing(self, dataset):
         """Compute per-table touched rows (host-side, pre-encode) so the
@@ -610,11 +632,23 @@ class Trainer:
         pushed (silent cross-worker divergence)."""
         from paddlerec_tpu.train.touched import batch_rows_by_table
 
+        def warn(name, why):
+            if name not in self._geo_untracked_warned:
+                self._geo_untracked_warned.add(name)
+                logger.warning(
+                    f"geo: table {name!r} gets NO touched-row tracking "
+                    f"({why}) — its local updates will NEVER be pushed "
+                    "at rendezvous and workers WILL diverge on it; "
+                    "override ModelDef.touched_tables"
+                )
+
         for batch in dataset:
             rows_of = {}
             if self._geo_touched:
                 rows_map = {n: len(m) for n, m in self._geo_touched.items()}
-                rows_of = batch_rows_by_table(self.model_def, batch, rows_map)
+                rows_of = batch_rows_by_table(
+                    self.model_def, batch, rows_map, warn=warn
+                )
             self._geo_pending_rows.append(rows_of)
             yield batch
 

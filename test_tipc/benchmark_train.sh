@@ -20,8 +20,10 @@ if [ ${#CONFIGS[@]} -eq 0 ]; then
 fi
 FAIL=0
 for cfg in "${CONFIGS[@]}"; do
+  # ${arr[@]+...}: expanding an empty array under `set -u` errors on
+  # bash < 4.4
   python -m paddlerec_tpu.tools.tipc "$cfg" benchmark_train \
-    "${CPU_ARGS[@]}" || FAIL=1
+    ${CPU_ARGS[@]+"${CPU_ARGS[@]}"} || FAIL=1
 done
 python -m paddlerec_tpu.tools.tipc_benchmark_summary test_tipc/output \
   || FAIL=1
