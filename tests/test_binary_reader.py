@@ -261,10 +261,12 @@ def test_superbatch_with_wire_and_tail(tmp_path):
     assert metrics["total_ins"] == 112.0
 
 
-def test_wire_skips_out_of_range_ids():
-    """u24 packing must not engage when actual values exceed 2^24 (raw
-    un-hashed ids) or are negative — (id mod 2^24) mod vocab is not
-    id mod vocab."""
+def test_wire_out_of_range_ids_hash_early_or_escalate():
+    """Values >= 2^24 reduce mod vocab (consumers hash by vocab anyway;
+    keeps the u24 shape stable for superbatch stacking); NEGATIVE ids
+    (sentinels mod would corrupt) skip u24 entirely."""
+    import jax.numpy as jnp
+
     from paddlerec_tpu.data import wire
 
     big = {
@@ -272,10 +274,74 @@ def test_wire_skips_out_of_range_ids():
         "sparse": np.array([[2**25], [5], [7], [9]], np.int64),
     }
     enc = wire.encode_batch(big, vocab=1000)
-    assert enc["sparse"].dtype != np.uint8  # fell back (i32)
+    assert enc["sparse"].dtype == np.uint8  # stays u24, hashed early
+    dec = wire.decode_batch({"sparse": jnp.asarray(enc["sparse"])})
+    assert int(dec["sparse"][0, 0]) == (2**25) % 1000
     neg = {
         "label": np.zeros(2, np.float32),
         "sparse": np.array([[-1], [5]], np.int64),
     }
     enc2 = wire.encode_batch(neg, vocab=1000)
     assert enc2["sparse"].dtype != np.uint8
+
+
+def test_wire_encoder_pins_representation():
+    """The stream's sparse representation never flips shape mid-stream:
+    u24 stays u24 (ids >= 2^24 reduce mod vocab — consumers hash by
+    vocab anyway), so superbatch staging can stack any two batches."""
+    import numpy as np
+
+    from paddlerec_tpu.data.wire import WireEncoder, decode_batch
+
+    enc = WireEncoder(vocab=1000)
+    b1 = {"sparse": np.array([[1, 2], [3, 4]], np.int64)}
+    o1 = enc(b1)
+    assert o1["sparse"].shape == (2, 2, 3) and o1["sparse"].dtype == np.uint8
+    # boundary-straddling batch: same shape, values hashed early
+    big = {"sparse": np.array([[1 << 25, 5], [6, 7]], np.int64)}
+    o2 = enc(big)
+    assert o2["sparse"].shape == (2, 2, 3) and o2["sparse"].dtype == np.uint8
+    import jax.numpy as jnp
+
+    dec = decode_batch({"sparse": jnp.asarray(o2["sparse"])})
+    assert int(dec["sparse"][0, 0]) == (1 << 25) % 1000
+
+    # NEGATIVE ids (sentinel semantics) escalate — once, with a warning
+    enc2 = WireEncoder(vocab=1000)
+    enc2(b1)
+    neg = {"sparse": np.array([[-1, 2], [3, 4]], np.int64)}
+    o3 = enc2(neg)
+    assert o3["sparse"].dtype == np.int32  # escalated, not corrupted
+    assert enc2._mode == "i32"  # pinned for the rest of the stream
+
+
+def test_superbatch_stacker_splits_on_shape_change():
+    """A mid-stream shape change (ragged tail, wire escalation) splits
+    superbatch groups instead of crashing np.stack."""
+    import numpy as np
+
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.train.trainer import Trainer
+
+    cfg = Config({
+        "runner.model": "rank.dnn",
+        "runner.feed_superbatch": 4,
+        "hyper_parameters.sparse_inputs_slots": 9,
+        "hyper_parameters.sparse_feature_number": 1000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.dense_input_dim": 4,
+        "hyper_parameters.fc_sizes": [16, 8],
+    })
+    t = Trainer(cfg)
+
+    def batches():
+        for shape in [(8, 8), (8, 8), (8, 8, 3), (8, 8, 3), (8, 16, 3)]:
+            yield {"sparse": np.zeros(shape, np.uint8),
+                   "label": np.zeros(shape[0], np.float32),
+                   "mask": np.ones(shape[0], np.float32)}
+
+    groups = [
+        sb for sb, i in t._staged_superbatches(batches(), 4) if i == 0
+    ]
+    lead = [int(next(iter(g.values())).shape[0]) for g in groups]
+    assert lead == [2, 2, 1]  # split at each shape boundary
