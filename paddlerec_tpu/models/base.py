@@ -298,6 +298,21 @@ class ModelDef:
         """Optimizer from hyper_parameters.optimizer.* (reference
         dygraph_model.create_optimizer: Adam(lr) by default)."""
         cfg = self.config
+        if bool(cfg.hyper("optimizer.runtime_inject", False)):
+            # lr / embedding_l2 become optimizer-STATE values instead of
+            # baked HLO constants: one compile serves every value, and
+            # Trainer.set_hyperparams retunes them between steps with no
+            # recompile (the tunnel makes each fresh compile ~20 min, so
+            # hyperparameter sweeps are infeasible without this).
+            if self.sparse_update_enabled():
+                raise ValueError(
+                    "optimizer.runtime_inject does not compose with "
+                    "sparse_update (row-wise updates read lr statically)"
+                )
+            return optax.inject_hyperparams(self._injectable_optimizer)(
+                learning_rate=float(cfg.hyper("optimizer.learning_rate", 0.001)),
+                embedding_l2=float(cfg.hyper("embedding_l2", 0.0) or 0.0),
+            )
         tx = self._base_optimizer()
         clip = cfg.hyper("clip_by_norm")
         if clip and not self.sparse_update_enabled():
@@ -311,18 +326,9 @@ class ModelDef:
             # training stops memorizing tail ids (the MAP analog of the
             # PS accessors' regularization).  update -= lr * el2 * w.
             lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
-
-            def emb_mask(params):
-                from paddlerec_tpu.parallel.sharding import (
-                    is_embedding_path,
-                )
-
-                return jax.tree_util.tree_map_with_path(
-                    lambda p, _: is_embedding_path(p), params
-                )
-
             tx = optax.chain(
-                tx, optax.add_decayed_weights(-el2 * lr, mask=emb_mask)
+                tx,
+                optax.add_decayed_weights(-el2 * lr, mask=_emb_decay_mask),
             )
         # sparse runs clip ONCE over the whole grads tree in the trainer
         # (clip_grads) so dense and row-wise updates share one norm —
@@ -349,10 +355,29 @@ class ModelDef:
             )
         return tx
 
-    def _base_optimizer(self) -> optax.GradientTransformation:
+    def _injectable_optimizer(self, learning_rate, embedding_l2):
+        """Graph-stable optimizer body for optax.inject_hyperparams: both
+        args arrive as traced scalars read from opt_state.hyperparams, so
+        the emitted HLO is identical for every (lr, el2) value.  The el2
+        decay chain is present unconditionally (el2=0 is a runtime no-op)
+        to keep the opt_state pytree shape value-independent."""
+        cfg = self.config
+        tx = self._base_optimizer(learning_rate)
+        clip = cfg.hyper("clip_by_norm")
+        if clip:
+            tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        return optax.chain(
+            tx,
+            optax.add_decayed_weights(
+                -embedding_l2 * learning_rate, mask=_emb_decay_mask
+            ),
+        )
+
+    def _base_optimizer(self, lr=None) -> optax.GradientTransformation:
         cfg = self.config
         name = str(cfg.hyper("optimizer.class", "Adam")).lower()
-        lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
+        if lr is None:
+            lr = float(cfg.hyper("optimizer.learning_rate", 0.001))
         if name == "adam":
             if bool(cfg.hyper("optimizer.lazy_mode", False)):
                 # paddle Adam(lazy_mode=True) semantics: embedding tables
@@ -390,6 +415,15 @@ class ModelDef:
             wd = float(cfg.hyper("optimizer.weight_decay", 1e-4))
             return optax.adamw(lr, weight_decay=wd)
         raise ValueError(f"unknown optimizer {name!r}")
+
+
+def _emb_decay_mask(params):
+    """True for embedding-table leaves (the only ones embedding_l2 decays)."""
+    from paddlerec_tpu.parallel.sharding import is_embedding_path
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: is_embedding_path(p), params
+    )
 
 
 def binary_logloss(

@@ -165,6 +165,64 @@ class Trainer:
         )
         return self.state
 
+    def reset_state(self, seed: Optional[int] = None) -> TrainState:
+        """Re-initialize params/opt_state/metrics WITHOUT rebuilding the
+        optimizer object: TrainState.tx is a static jit field (it hashes
+        by identity), so reusing it keeps the compiled train step warm —
+        required for one-compile hyperparameter sweeps on the tunnel."""
+        if self.state is None:
+            return self.init_state(seed)
+        tx = self.state.tx
+        parallel_context.set_mesh(self.mesh)
+        seed = int(self.config.runner("seed", 2023) if seed is None else seed)
+        rng = jax.random.PRNGKey(seed)
+        batch = jax.tree.map(jnp.asarray, self.model_def.example_batch(2))
+
+        def init_fn(r):
+            return self.model_def.init_with_batch(r, batch)
+
+        abstract = jax.eval_shape(init_fn, rng)
+        shardings = param_shardings(abstract, self.mesh)
+        params = jax.jit(init_fn, out_shardings=shardings)(rng)
+        opt_shardings = param_shardings(
+            jax.eval_shape(tx.init, params), self.mesh
+        )
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+        extra = None
+        if hasattr(self.model_def, "init_sparse_state"):
+            extra = self.model_def.init_sparse_state(params)
+        self.state = TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
+            params=params,
+            opt_state=opt_state,
+            tx=tx,
+            extra=extra,
+        )
+        return self.state
+
+    def set_hyperparams(self, **values: float) -> None:
+        """Retune injected optimizer hyperparameters (learning_rate,
+        embedding_l2) in place with NO recompile.  Requires the optimizer
+        to have been built with hyper_parameters.optimizer.runtime_inject."""
+        if self.state is None:
+            self.init_state()
+        st = self.state.opt_state
+        hp = getattr(st, "hyperparams", None)
+        if hp is None:
+            raise ValueError(
+                "set_hyperparams needs optimizer.runtime_inject: true "
+                "(the default optimizer bakes lr/el2 into the graph)"
+            )
+        unknown = set(values) - set(hp)
+        if unknown:
+            raise KeyError(f"not injected hyperparams: {sorted(unknown)}")
+        new_hp = dict(hp)
+        for k, v in values.items():
+            new_hp[k] = jax.device_put(
+                jnp.asarray(v, jnp.asarray(hp[k]).dtype), hp[k].sharding
+            )
+        self.state = self.state.replace(opt_state=st._replace(hyperparams=new_hp))
+
     def load_checkpoint(self, root: str, tag, params_only: bool = False) -> None:
         """Restore params(+opt) from a checkpoint into the current shardings.
 

@@ -88,7 +88,8 @@ def test_ctr_bundle(rng):
 def test_psum_state_equals_concat():
     """Distributed AUC invariant: psum of per-shard buckets == global AUC."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("dp",))
