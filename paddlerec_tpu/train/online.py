@@ -116,11 +116,17 @@ class FeatureStats:
 
     def observe(self, rows: np.ndarray) -> None:
         rows = rows.reshape(-1)
-        # O(batch), not O(table): a bincount allocates and streams the
-        # whole table length on every batch
-        np.add.at(self.show, rows, 1.0)
-        self.unseen_days[rows] = -1  # reset at end_day (+1 → 0)
-        self.seen[rows] = True
+        u, c = np.unique(rows, return_counts=True)
+        self.observe_unique(u, c)
+
+    def observe_unique(self, u: np.ndarray, c: np.ndarray) -> None:
+        """observe() for pre-deduplicated rows.  O(batch), not O(table)
+        (a bincount would stream the whole table every batch), and the
+        dedup avoids np.add.at's scalar scatter loop — 25 ms/batch at
+        bs 8192×26 on this host, i.e. 15 s of a 16 s 5M-row online pass."""
+        self.show[u] += c
+        self.unseen_days[u] = -1  # reset at end_day (+1 → 0)
+        self.seen[u] = True
 
     def end_day(self) -> np.ndarray:
         """Apply decay; return the row ids to evict (seen rows only)."""
@@ -313,12 +319,16 @@ class OnlineTrainer(Trainer):
         if not rows_by_table:
             return
         for name, rows in rows_by_table.items():
+            # dedup ONCE per table: every downstream structure (touched
+            # mask, show counters) indexes by unique rows, and fancy
+            # writes with repeated indices are the hot-loop host cost
+            u, c = np.unique(rows.reshape(-1), return_counts=True)
             # delta bookkeeping is independent of the lifecycle flag: the
             # mode-1 delta publishes exactly the rows touched since the
             # last published artifact
-            self._touched[name][rows] = True
+            self._touched[name][u] = True
             if self._feature_lifecycle and name in self.stats:
-                self.stats[name].observe(rows)
+                self.stats[name].observe_unique(u, c)
 
     @staticmethod
     def _stats_key(name: str) -> str:
@@ -717,7 +727,13 @@ class OnlineTrainer(Trainer):
         # join-time eval BEFORE training on the pass (online AUC)
         if self.infer_before_train and self.use_auc:
             metric_state = self._init_metric_state()
-            for batch in self._device_batches(dataset):
+            for batch in self._device_batches(dataset, allow_super=True):
+                if isinstance(batch, tuple):  # (superbatch, index)
+                    sb, idx = batch
+                    metric_state, _ = self._infer_step_super(
+                        self.state, sb, jnp.int32(idx), metric_state
+                    )
+                    continue
                 metric_state, _ = self._infer_step(self.state, batch, metric_state)
             m = self._compute_metrics(metric_state)
             logger.info(

@@ -121,6 +121,7 @@ class Trainer:
         self._train_step = None
         self._train_step_super = None
         self._infer_step = None
+        self._infer_step_super = None
         self._overflow_strikes = 0
         self._geo_base = None
         self._geo_touched = None
@@ -358,6 +359,19 @@ class Trainer:
             metric_state = self._accumulate_overflow(metric_state, aux)
             return metric_state, aux
 
+        def infer_super(state: TrainState, sb, i, metric_state):
+            # device-side sub-batch slice of a staged superbatch — the
+            # eval twin of super_step, so join-time evals and epoch-end
+            # evaluate() ride the same K-batches-per-transfer feed
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i, 0, keepdims=False
+                ),
+                sb,
+            )
+            return infer_step(state, batch, metric_state)
+
+        self._infer_step_super = jax.jit(infer_super, donate_argnums=(3,))
         return jax.jit(infer_step, donate_argnums=(2,))
 
     # -- data ---------------------------------------------------------------------
@@ -1095,7 +1109,12 @@ class Trainer:
             self._infer_step = self._build_infer_step()
 
         dataset = self.make_dataset(data_dir, batch_size, drop_last=False)
-        eval_batches = self._device_batches(dataset, allow_super=False)
+        # dump_fields needs per-batch host aux, so it keeps the single-
+        # batch path; everything else evals through superbatch staging
+        dumping = bool(cfg.runner("dump_fields") or []) and bool(
+            resolve_path(cfg, "runner.dump_fields_path")
+        )
+        eval_batches = self._device_batches(dataset, allow_super=not dumping)
         metric_state = self._init_metric_state()
         # dump_fields: per-instance variable dumps for the on/off-line
         # consistency diff (reference set_dump_config,
@@ -1117,6 +1136,18 @@ class Trainer:
         begin = time.time()
         total = 0
         for batch_id, batch in enumerate(eval_batches):
+            if isinstance(batch, tuple):  # (superbatch, index)
+                sb, idx = batch
+                metric_state, aux = self._infer_step_super(
+                    self.state, sb, jnp.int32(idx), metric_state
+                )
+                total += int(next(iter(sb.values())).shape[1])
+                if (batch_id + 1) % print_interval == 0 and self.use_auc:
+                    logger.info(
+                        f"infer batch_id: {batch_id}, "
+                        f"{self._auc_str(metric_state)}"
+                    )
+                continue
             metric_state, aux = self._infer_step(self.state, batch, metric_state)
             if dump_file is not None:
                 import json as _json
