@@ -345,3 +345,41 @@ def test_superbatch_stacker_splits_on_shape_change():
     ]
     lead = [int(next(iter(g.values())).shape[0]) for g in groups]
     assert lead == [2, 2, 1]  # split at each shape boundary
+
+
+def test_superbatch_eval_matches_plain(tmp_path):
+    """evaluate() rides superbatch staging (infer_super); its metrics
+    must be bit-identical to the single-batch eval path, including a
+    tail group smaller than K and drop_last=False stragglers."""
+    from paddlerec_tpu.core.config import Config
+    from paddlerec_tpu.train.trainer import Trainer
+
+    _write_bin(tmp_path, "a.bin", 104, s=8, d=4, seed=13)  # 6.5 batches
+    base = {
+        "runner.model": "rank.dnn",
+        "runner.train_data_dir": str(tmp_path),
+        "runner.test_data_dir": str(tmp_path),
+        "runner.train_batch_size": 16,
+        "runner.infer_batch_size": 16,
+        "runner.epochs": 1,
+        "runner.print_interval": 100,
+        "hyper_parameters.sparse_inputs_slots": 9,
+        "hyper_parameters.sparse_feature_number": 1000,
+        "hyper_parameters.sparse_feature_dim": 8,
+        "hyper_parameters.dense_input_dim": 4,
+        "hyper_parameters.fc_sizes": [16],
+    }
+    def ev(over):
+        t = Trainer(Config(dict(base, **over)))
+        t.init_state(seed=3)
+        return t.evaluate()
+
+    e_plain = ev({})
+    e_super = ev({"runner.feed_superbatch": 4})
+    assert e_plain["total_ins"] == e_super["total_ins"] == 104.0
+    assert abs(e_plain["auc"] - e_super["auc"]) < 1e-6  # bit-exact path
+    # + wire: dense rides the link as f16 (deliberate bytes/row trade),
+    # so predictions may move by rounding, not by batching
+    e_wire = ev({"runner.feed_superbatch": 4, "runner.wire_format": "compact"})
+    assert e_wire["total_ins"] == 104.0
+    assert abs(e_plain["auc"] - e_wire["auc"]) < 1e-3

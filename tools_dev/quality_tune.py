@@ -65,7 +65,7 @@ def main():
         "runner.shuffle_files": True,
         "hyper_parameters.sparse_inputs_slots": 27,
         "hyper_parameters.sparse_feature_number": meta["vocab"],
-        "hyper_parameters.sparse_feature_dim": 9,
+        "hyper_parameters.sparse_feature_dim": int(os.environ.get("QDIM", 9)),
         "hyper_parameters.dense_input_dim": 13,
         "hyper_parameters.fc_sizes": [512, 256, 128, 32],
         "hyper_parameters.sparse_feature_dtype": os.environ.get(
