@@ -46,6 +46,8 @@ DEFAULT_PLAN = [
 
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "rank.deepfm"
+    if model.startswith("dev."):
+        import tools_dev.synth_probe_model  # noqa: F401  (registers dev.*)
     data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_v3"
     plan = DEFAULT_PLAN
     if len(sys.argv) > 3:

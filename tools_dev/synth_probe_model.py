@@ -1,0 +1,72 @@
+"""Matched-form probe learner for the v3 synthetic quality benchmark.
+
+The posterior oracle (tools_dev/posterior_oracle.py) assumes every
+planted parameter is observed DIRECTLY with Fisher information I*n_id.
+That is exact for the additive scalar effects (an LR fit reaches its
+0.690 ceiling within 0.007 — measured), but it over-credits the
+pairwise-latent part: a real learner only sees latents through bilinear
+products with co-occurring partner ids, a non-convex joint estimation
+problem with far worse statistical efficiency than n_id direct draws.
+
+This module is the honest "oracle given data" for that part: a model
+whose hypothesis class IS the generative family (per-feasign scalar w,
+per-feasign 4-dim latent used only in the six planted slot pairs, dense
+linear, bias) fit by SGD on the train split.  No generic learner can be
+expected to beat it — it knows the true functional form, so the ONLY
+thing it has to do is estimate.  Its best test AUC therefore replaces
+the direct-observation oracle as the realizable ceiling, and the
+quality table certifies by "generic model within eps of matched-form".
+
+Register: "dev.synth_pair" (import this module before building Trainer).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from paddlerec_tpu.core.registry import register_model
+from paddlerec_tpu.models.base import CTRModelDef
+from paddlerec_tpu.ops.embedding import SlotEmbedding
+
+# the generator's planted pair structure (tools_dev/synth_model.py)
+PAIR_SLOTS = [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11)]
+LAT_DIM = 4
+
+
+class SynthPairNet(nn.Module):
+    """score = sum_s w[fs_s] + sum_{(a,b)} lat[fs_a].lat[fs_b]
+             + dense @ beta + bias  — exactly synth_model.score()."""
+
+    vocab_size: int
+    init_stddev: float = 0.05  # symmetry breaking for the bilinear part
+    table_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
+        fused = SlotEmbedding(
+            self.vocab_size, 1 + LAT_DIM, name="embedding",
+            init_stddev=self.init_stddev, param_dtype=self.table_dtype,
+        )(sparse_ids)  # (B, S, 1+LAT): lane 0 = w, lanes 1: = latent
+        first = fused[..., 0].sum(axis=1)
+        lat = fused[..., 1:]
+        second = jnp.zeros_like(first)
+        for a, b in PAIR_SLOTS:
+            second = second + (lat[:, a] * lat[:, b]).sum(axis=-1)
+        beta = self.param(
+            "dense_w", nn.initializers.normal(1e-2), (dense.shape[-1],)
+        )
+        bias = self.param("bias", nn.initializers.zeros, ())
+        return first + second + dense @ beta + bias
+
+
+@register_model("dev.synth_pair")
+class ModelDef(CTRModelDef):
+    def __init__(self, config):
+        super().__init__(config)
+        self.sparse_embed_logical_dim = 1 + LAT_DIM
+        self.module = SynthPairNet(
+            self.vocab_size,
+            init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
+            table_dtype=self.table_dtype(),
+        )
