@@ -202,9 +202,24 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     results = []
     regressions = []
     avail = len(jax.devices())
+    host_cores = os.cpu_count() or 1
+    skipped = []
     for devices in device_nums:
         if devices > avail:
             print(f"skip device_num {devices} (only {avail} available)")
+            skipped.append({"devices": devices,
+                            "reason": f"only {avail} devices"})
+            continue
+        if (jax.default_backend() == "cpu" and devices > host_cores
+                and not os.environ.get("TIPC_OVERSUBSCRIBE_OK")):
+            # virtual-device legs oversubscribed onto fewer physical
+            # cores measure scheduler contention (and trip collective
+            # rendezvous timeouts), not framework throughput — record
+            # the skip instead of a garbage baseline
+            print(f"skip device_num {devices} (host has {host_cores} "
+                  f"core(s); oversubscribed CPU collectives are noise)")
+            skipped.append({"devices": devices,
+                            "reason": f"host has {host_cores} core(s)"})
             continue
         for bs in batch_sizes:
             cfg = Config(dict(
@@ -273,7 +288,8 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     with open(record_path, "w") as f:
         json.dump(
             {"model": model_name, "results": results,
-             "regressions": regressions, "warmup": warmup,
+             "regressions": regressions, "skipped": skipped,
+             "warmup": warmup,
              "backend": jax.default_backend(), "ts": time.time()}, f
         )
     print(f"benchmark record: {record_path}")

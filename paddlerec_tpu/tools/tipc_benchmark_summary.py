@@ -28,6 +28,7 @@ def summarize(output_dir: str = "test_tipc/output") -> dict:
         model = rec.get("model", os.path.basename(path))
         records[model] = {
             "cells": rec.get("results", []),
+            "skipped": rec.get("skipped", []),
             "backend": rec.get("backend"),
         }
         for r in rec.get("regressions", []):
@@ -35,6 +36,9 @@ def summarize(output_dir: str = "test_tipc/output") -> dict:
     summary = {
         "models": len(records),
         "cells": sum(len(r["cells"]) for r in records.values()),
+        "skipped_cells": sum(
+            len(r["skipped"]) for r in records.values()
+        ),
         "regressions": regressions,
         "records": records,
         "ts": time.time(),

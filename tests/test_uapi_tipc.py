@@ -155,7 +155,13 @@ def test_tipc_benchmark_train_mode(tmp_path):
         "benchmark.steps:4\n"
     )
     out = tmp_path / "out"
-    assert run_benchmark(str(cfg), str(out))
+    # functional check, not a baseline: allow virtual devices to exceed
+    # physical cores (run_benchmark skips such cells for real baselines)
+    os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    try:
+        assert run_benchmark(str(cfg), str(out))
+    finally:
+        os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
     rec = json.load(open(out / "benchmark_train_dnn.json"))
     cells = {(r["batch"], r["devices"]) for r in rec["results"]}
     assert (32, 1) in cells and (64, 2) in cells, cells
