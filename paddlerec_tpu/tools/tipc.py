@@ -146,7 +146,11 @@ def run_mode(config_txt: str, mode: str, output_dir: str = "test_tipc/output"):
 REGRESSION_TOLERANCE = 0.20  # CI fails on >20% ips drop vs last record
 
 
-def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
+RECORD_DIR = "test_tipc/benchmark_records"  # tracked: committed per round
+
+
+def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
+                  record_dir: str = RECORD_DIR):
     """benchmark_train mode: the reference's perf-CI matrix
     (test_tipc/benchmark_train.sh + train_benchmark_params — batch /
     device_num sweep recording ips per combination, diffed
@@ -183,15 +187,22 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
     steps = max(int(spec.get("benchmark.steps", 64)), 50)
     warmup = 3
     os.makedirs(output_dir, exist_ok=True)
+    # records live in a TRACKED dir (unlike output_dir) so every
+    # config's baseline is committed and the >20% regression gate
+    # diffs round-over-round against the repo history
+    os.makedirs(record_dir, exist_ok=True)
     record_path = os.path.join(
-        output_dir, f"benchmark_train_{model_name}.json"
+        record_dir, f"benchmark_train_{model_name}.json"
     )
     previous = None
+    prev_backend = None
     if os.path.exists(record_path):
         try:
+            _prev_rec = json.load(open(record_path))
+            prev_backend = _prev_rec.get("backend")
             previous = {
                 (r["batch"], r["devices"]): r["ips"]
-                for r in json.load(open(record_path))["results"]
+                for r in _prev_rec["results"]
             }
         except Exception:
             previous = None
@@ -267,7 +278,10 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output"):
             ips = steps * bs / el
             delta = ""
             regressed = False
-            if previous and (bs, devices) in previous:
+            # a committed CPU-mesh baseline says nothing about chip ips
+            # (and vice versa) — only diff within the same backend
+            if (previous and prev_backend == jax.default_backend()
+                    and (bs, devices) in previous):
                 prev = previous[(bs, devices)]
                 rel = (ips - prev) / prev
                 delta = f" ({rel * 100.0:+.1f}% vs last)"
@@ -307,6 +321,9 @@ def main(argv=None):
     parser.add_argument("mode", nargs="?", default="lite_train_lite_infer",
                         choices=MODES)
     parser.add_argument("--output_dir", default="test_tipc/output")
+    parser.add_argument("--record_dir", default=RECORD_DIR,
+                        help="tracked dir holding the committed "
+                        "benchmark_train_<model>.json baselines")
     parser.add_argument("--cpu", type=int, default=0, metavar="N",
                         help="force the CPU backend with N virtual "
                         "devices (certification runs should not pay "
@@ -319,7 +336,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(args.cpu))
     if args.mode == "benchmark_train":
-        return 0 if run_benchmark(args.config_txt, args.output_dir) else 1
+        return 0 if run_benchmark(
+            args.config_txt, args.output_dir, args.record_dir
+        ) else 1
     return 0 if run_mode(args.config_txt, args.mode, args.output_dir) else 1
 
 

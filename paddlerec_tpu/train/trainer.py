@@ -122,6 +122,9 @@ class Trainer:
         self._train_step_super = None
         self._infer_step = None
         self._infer_step_super = None
+        # runner.feed_device_resident: staged superbatches kept in HBM
+        # and replayed on later epochs (key → {"sbs": [...], ...})
+        self._resident = {}
         self._overflow_strikes = 0
         self._geo_base = None
         self._geo_touched = None
@@ -452,7 +455,8 @@ class Trainer:
         enc = WireEncoder(int(self.config.hyper("sparse_feature_number", 0)))
         return (enc(b) for b in dataset)
 
-    def _device_batches(self, dataset, allow_super: bool = False) -> Iterable:
+    def _device_batches(self, dataset, allow_super: bool = False,
+                        resident_key: str = None) -> Iterable:
         # allow_super: ONLY Trainer.train's loop understands the
         # (superbatch, index) tuples; every other consumer (online
         # passes, geo rounds, eval, tipc benchmark) gets plain batches
@@ -525,10 +529,79 @@ class Trainer:
             # slower than one K-times-larger one on constrained links);
             # the jitted step slices batch i on device.  Yields
             # (superbatch, i) pairs consumed by the superbatch step.
+            if (resident_key is not None
+                    and bool(self.config.runner("feed_device_resident",
+                                                False))):
+                yield from self._resident_superbatches(
+                    dataset, k, resident_key
+                )
+                return
             yield from self._staged_superbatches(dataset, k)
             return
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
+
+    def _resident_superbatches(self, dataset, k: int, key: str):
+        """Device-RESIDENT feed (``runner.feed_device_resident``): the
+        staged superbatches stay in HBM after the first pass and replay
+        in a reshuffled order on every later epoch — zero host→device
+        traffic from epoch 1 on, so multi-epoch runs on corpora that fit
+        in HBM train at the device rate no matter how narrow the host
+        link is.  This is the reference InMemoryDataset
+        (reader_helper.py:240-312, host-RAM ingest + local_shuffle) one
+        tier up the memory hierarchy: on a TPU the replay store worth
+        having is HBM itself.  Corpora larger than
+        ``runner.resident_max_gb`` (default 8) stream instead (one
+        warning; behavior identical to plain superbatch staging).
+
+        Replay order is reshuffled across superbatches per epoch (rows
+        within a staged superbatch keep their composition — same
+        granularity as the reference's QueueDataset file-level shuffle).
+        """
+        ent = self._resident.get(key)
+        if ent is None:
+            cap = float(
+                self.config.runner("resident_max_gb", 8.0)
+            ) * (1 << 30)
+            sbs, total, spilled = [], 0, False
+            for sb, i in self._staged_superbatches(dataset, k):
+                if not spilled and i == 0:
+                    nbytes = sum(
+                        int(v.nbytes) for v in jax.tree.leaves(sb)
+                    )
+                    if total + nbytes > cap:
+                        spilled = True
+                        sbs = None
+                        logger.warning(
+                            "feed_device_resident: corpus exceeds "
+                            "resident_max_gb=%.1f — falling back to "
+                            "streaming staging",
+                            cap / (1 << 30),
+                        )
+                    else:
+                        total += nbytes
+                        sbs.append(sb)
+                yield sb, i
+            self._resident[key] = {"sbs": sbs, "replays": 0,
+                                   "bytes": total}
+            if sbs is not None:
+                logger.info(
+                    "feed_device_resident: %d superbatches "
+                    "(%.2f GB) resident in HBM for %r",
+                    len(sbs), total / (1 << 30), key,
+                )
+            return
+        if ent["sbs"] is None:  # spilled on first pass: keep streaming
+            yield from self._staged_superbatches(dataset, k)
+            return
+        ent["replays"] += 1
+        order = np.random.RandomState(ent["replays"]).permutation(
+            len(ent["sbs"])
+        )
+        for j in order:
+            sb = ent["sbs"][int(j)]
+            for i in range(int(next(iter(sb.values())).shape[0])):
+                yield sb, i
 
     def _staged_superbatches(self, dataset, k: int):
         def sig(b):
@@ -1006,7 +1079,10 @@ class Trainer:
             loss = None
             profiler_options = cfg.runner("profiler_options")
             for batch_id, batch in enumerate(
-                    self._device_batches(dataset, allow_super=True)):
+                    self._device_batches(
+                        dataset, allow_super=True,
+                        resident_key=f"train:{data_dir}:{batch_size}",
+                    )):
                 if profiler_options:
                     from paddlerec_tpu.utils.profiler import add_profiler_step
 
@@ -1114,7 +1190,11 @@ class Trainer:
         dumping = bool(cfg.runner("dump_fields") or []) and bool(
             resolve_path(cfg, "runner.dump_fields_path")
         )
-        eval_batches = self._device_batches(dataset, allow_super=not dumping)
+        eval_batches = self._device_batches(
+            dataset, allow_super=not dumping,
+            resident_key=None if dumping
+            else f"eval:{data_dir}:{batch_size}",
+        )
         metric_state = self._init_metric_state()
         # dump_fields: per-instance variable dumps for the on/off-line
         # consistency diff (reference set_dump_config,

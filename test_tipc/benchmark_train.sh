@@ -2,9 +2,10 @@
 # Perf-CI benchmark matrix over EVERY TIPC config (reference
 # test_tipc/benchmark_train.sh): each config's benchmark.* sweep runs
 # with warmup excluded and >=50 timed steps per cell; a >20% ips drop
-# vs the committed benchmark_train_<model>.json FAILS that model, and
-# this driver exits non-zero if any model failed.  A summary lands in
-# test_tipc/output/benchmark_summary.json.
+# vs the committed benchmark_train_<model>.json (in the TRACKED
+# test_tipc/benchmark_records/) FAILS that model, and this driver
+# exits non-zero if any model failed.  A summary lands in
+# test_tipc/benchmark_records/benchmark_summary.json.
 #
 # usage: bash test_tipc/benchmark_train.sh [--cpu N] [config_txt ...]
 set -u
@@ -25,6 +26,6 @@ for cfg in "${CONFIGS[@]}"; do
   python -m paddlerec_tpu.tools.tipc "$cfg" benchmark_train \
     ${CPU_ARGS[@]+"${CPU_ARGS[@]}"} || FAIL=1
 done
-python -m paddlerec_tpu.tools.tipc_benchmark_summary test_tipc/output \
-  || FAIL=1
+python -m paddlerec_tpu.tools.tipc_benchmark_summary \
+  test_tipc/benchmark_records || FAIL=1
 exit $FAIL

@@ -159,7 +159,7 @@ def test_tipc_benchmark_train_mode(tmp_path):
     # physical cores (run_benchmark skips such cells for real baselines)
     os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
     try:
-        assert run_benchmark(str(cfg), str(out))
+        assert run_benchmark(str(cfg), str(out), record_dir=str(out))
     finally:
         os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
     rec = json.load(open(out / "benchmark_train_dnn.json"))
@@ -167,4 +167,4 @@ def test_tipc_benchmark_train_mode(tmp_path):
     assert (32, 1) in cells and (64, 2) in cells, cells
     assert all(r["ips"] > 0 for r in rec["results"])
     # second run diffs against the record without error
-    assert run_benchmark(str(cfg), str(out))
+    assert run_benchmark(str(cfg), str(out), record_dir=str(out))

@@ -36,6 +36,8 @@ def main():
         "runner.print_interval": 500,
         "runner.wire_format": "compact",
         "runner.feed_superbatch": 16,
+        "runner.feed_device_resident": True,
+        "runner.resident_max_gb": float(os.environ.get("QRES_GB", 8.0)),
         "runner.shuffle_files": True,
         "hyper_parameters.sparse_inputs_slots": 27,
         "hyper_parameters.sparse_feature_number": meta["vocab"],

@@ -64,6 +64,11 @@ def main():
         "runner.print_interval": 2000,
         "runner.wire_format": "compact",
         "runner.feed_superbatch": 16,
+        # the 45.8M-row corpus is ~4.8 GB on the wire — keep it resident
+        # in HBM so every epoch after the first runs at the device rate
+        # (and the whole multi-config sweep restages nothing)
+        "runner.feed_device_resident": True,
+        "runner.resident_max_gb": float(os.environ.get("QRES_GB", 8.0)),
         "runner.shuffle_files": True,
         "hyper_parameters.sparse_inputs_slots": 27,
         "hyper_parameters.sparse_feature_number": meta["vocab"],
