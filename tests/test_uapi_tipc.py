@@ -166,5 +166,22 @@ def test_tipc_benchmark_train_mode(tmp_path):
     cells = {(r["batch"], r["devices"]) for r in rec["results"]}
     assert (32, 1) in cells and (64, 2) in cells, cells
     assert all(r["ips"] > 0 for r in rec["results"])
-    # second run diffs against the record without error
-    assert run_benchmark(str(cfg), str(out), record_dir=str(out))
+    # The regression gate must be exercised deterministically: live
+    # re-timings on a loaded CI host are noise, so rewrite the committed
+    # record instead.  A floor record can never trip the >20% gate; an
+    # inflated record must always trip it.
+    rec_path = out / "benchmark_train_dnn.json"
+    floor = dict(rec)
+    floor["results"] = [dict(r, ips=r["ips"] * 0.01) for r in rec["results"]]
+    rec_path.write_text(json.dumps(floor))
+    os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    try:
+        assert run_benchmark(str(cfg), str(out), record_dir=str(out))
+        inflated = dict(rec)
+        inflated["results"] = [
+            dict(r, ips=r["ips"] * 100.0) for r in rec["results"]
+        ]
+        rec_path.write_text(json.dumps(inflated))
+        assert not run_benchmark(str(cfg), str(out), record_dir=str(out))
+    finally:
+        os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)

@@ -44,17 +44,12 @@ DEFAULT_PLAN = [
 ]
 
 
-def main():
-    model = sys.argv[1] if len(sys.argv) > 1 else "rank.deepfm"
+def build_config(model: str, data: str, meta: dict) -> Config:
+    """The shared sweep config (one compile per model; lr/el2 are
+    runtime-injected so every plan entry reuses it)."""
     if model.startswith("dev."):
         import tools_dev.synth_probe_model  # noqa: F401  (registers dev.*)
-    data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_v3"
-    plan = DEFAULT_PLAN
-    if len(sys.argv) > 3:
-        with open(sys.argv[3]) as f:
-            plan = json.load(f)
-    meta = json.load(open(os.path.join(data, "meta.json")))
-    cfg = Config({
+    return Config({
         "runner.model": model,
         "runner.train_data_dir": os.path.join(data, "train"),
         "runner.test_data_dir": os.path.join(data, "test"),
@@ -84,8 +79,11 @@ def main():
             os.environ.get("QLAZY", "") == "1",
         "hyper_parameters.embedding_l2": 0.0,
     })
-    t = Trainer(cfg)
-    t.init_state()
+
+
+def run_plan(t: Trainer, plan: list, model: str, meta: dict) -> list:
+    """Run every spec in the plan on an already-initialized Trainer,
+    printing CONFIG/CONFIG_DONE/TUNE_RESULT lines; returns results."""
     all_results = []
     for spec in plan:
         t.reset_state(seed=int(spec.get("seed", 2023)))
@@ -121,6 +119,20 @@ def main():
         "best": all_results[0] if all_results else None,
         "ranked": [(r["name"], r["best_test_auc"]) for r in all_results],
     }), flush=True)
+    return all_results
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "rank.deepfm"
+    data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_v3"
+    plan = DEFAULT_PLAN
+    if len(sys.argv) > 3:
+        with open(sys.argv[3]) as f:
+            plan = json.load(f)
+    meta = json.load(open(os.path.join(data, "meta.json")))
+    t = Trainer(build_config(model, data, meta))
+    t.init_state()
+    run_plan(t, plan, model, meta)
 
 
 if __name__ == "__main__":
