@@ -54,6 +54,11 @@ def main():
     # feasign-indexed table can represent; real Criteo's hashed buckets
     # are effectively slot-unique, so v3 is BOTH learnable and realistic.
     ap.add_argument("--v3", action="store_true")
+    # v4 = the v3 layout with pair_mode "fm": all slot pairs interact
+    # through the shared latent space (see synth_model.score) — the
+    # dense low-rank interaction structure real Criteo exhibits, which
+    # every interaction model (FM/DeepFM/DCN/DNN) can represent.
+    ap.add_argument("--pair_mode", choices=["six", "fm"], default="six")
     ap.add_argument("--scale_w", type=float, default=2.5)
     ap.add_argument("--scale_lat", type=float, default=2.5)
     ap.add_argument("--kappa_w", type=float, default=696.0)
@@ -154,7 +159,9 @@ def gen_v3(args):
     V = args.vocab
     meta = {
         "rows": args.rows, "test_rows": args.test_rows, "vocab": V,
-        "seed": args.seed, "bias": -1.1, "generator": "v3",
+        "seed": args.seed, "bias": -1.1,
+        "generator": "v4" if args.pair_mode == "fm" else "v3",
+        "pair_mode": args.pair_mode,
         "freq_kappa_w": args.kappa_w, "freq_kappa_lat": args.kappa_lat,
         "sigma_scale_w": args.scale_w, "sigma_scale_lat": args.scale_lat,
     }
@@ -169,7 +176,7 @@ def gen_v3(args):
             n = min(args.chunk, n_rows - done)
             r = np.random.RandomState(seed0 + part)
             fs, dense = sm.draw_rows(r, n, V)
-            s = sm.score(fs, dense, w, lat, beta, bias)
+            s = sm.score(fs, dense, w, lat, beta, bias, args.pair_mode)
             p = 1.0 / (1.0 + np.exp(-s))
             labels = (r.rand(n) < p).astype(np.float32)
             write_slotbin(

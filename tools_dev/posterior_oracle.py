@@ -82,6 +82,7 @@ def main_v3(data: str, meta: dict):
     import synth_model as sm
 
     w, lat, beta, bias = sm.planted_effects(meta)
+    pair_mode = meta.get("pair_mode", "six")
     n_fs = len(w)
     counts = np.zeros(n_fs, np.int64)
     for p in sorted(glob.glob(f"{data}/train/*.bin")):
@@ -95,7 +96,8 @@ def main_v3(data: str, meta: dict):
     for p in test_parts[:2]:
         f = SlotBinFile(p)
         fs = np.asarray(f.sparse)[:, :, 0]
-        s_ = sm.score(fs, np.asarray(f.dense), w, lat, beta, bias)
+        s_ = sm.score(fs, np.asarray(f.dense), w, lat, beta, bias,
+                      pair_mode)
         pr = 1 / (1 + np.exp(-s_))
         info_num += float((pr * (1 - pr)).sum())
         info_den += len(pr)
@@ -103,7 +105,8 @@ def main_v3(data: str, meta: dict):
     print(f"fisher info/obs = {info:.4f}", flush=True)
 
     w_mean, lat_mean, w_post, lat_post = sm.posterior_effects(
-        w, lat, counts, info
+        w, lat, counts, info,
+        lat_obs_mult=(sm.S - 1.0) if pair_mode == "fm" else 1.0,
     )
     buckets = 1 << 12
     scorers = {
@@ -119,7 +122,7 @@ def main_v3(data: str, meta: dict):
         dense = np.asarray(f.dense)
         y = np.asarray(f.labels)
         for k, (wk, lk) in scorers.items():
-            s_ = sm.score(fs, dense, wk, lk, beta, bias)
+            s_ = sm.score(fs, dense, wk, lk, beta, bias, pair_mode)
             pr = 1 / (1 + np.exp(-s_))
             b_ = np.clip((pr * buckets).astype(np.int64), 0, buckets - 1)
             pos, neg = acc[k]
@@ -133,7 +136,7 @@ def main_v3(data: str, meta: dict):
 def main():
     data = sys.argv[1] if len(sys.argv) > 1 else "/root/criteo_scale"
     meta = json.load(open(f"{data}/meta.json"))
-    if meta.get("generator") == "v3":
+    if meta.get("generator") in ("v3", "v4"):
         return main_v3(data, meta)
     V = int(meta["vocab"])
     w, lat, beta, bias = planted_truth(meta)

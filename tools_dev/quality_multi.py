@@ -11,6 +11,9 @@ usage:
   python tools_dev/quality_multi.py <data_dir> <spec.json>
 
 spec.json: [{"model": "rank.dnn", "plan": [<quality_tune specs>]}, ...]
+A later entry may set "plan": "best" to reuse the highest-scoring spec
+found for the most recent model that ran a concrete plan (tune
+hyperparams once on one family member, apply to the rest).
 """
 import json
 import os
@@ -34,6 +37,7 @@ def main():
     meta = json.load(open(os.path.join(data, "meta.json")))
     shared = None
     summary = []
+    concrete_results = None
     for entry in specs:
         model = entry["model"]
         print(f"MODEL_START {model}", flush=True)
@@ -41,7 +45,16 @@ def main():
         t.init_state()
         if shared is not None:
             t._resident = shared
-        results = run_plan(t, entry["plan"], model, meta)
+        plan = entry["plan"]
+        if plan == "best":
+            if not concrete_results:
+                raise SystemExit("'best' needs an earlier concrete plan")
+            plan = [concrete_results[0]["spec"]]
+        else:
+            concrete_results = None  # set from this entry's results below
+        results = run_plan(t, plan, model, meta)
+        if concrete_results is None:
+            concrete_results = results
         shared = t._resident
         summary.append({
             "model": model,

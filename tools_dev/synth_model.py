@@ -75,20 +75,45 @@ def draw_rows(rng: np.random.RandomState, n: int, vocab: int):
     return fs, dense
 
 
-def score(fs: np.ndarray, dense: np.ndarray, w, lat, beta, bias):
+def score(fs: np.ndarray, dense: np.ndarray, w, lat, beta, bias,
+          pair_mode: str = "six"):
+    """pair_mode "six" (v3): six fixed slot pairs interact, others are
+    additive-only.  pair_mode "fm" (v4): ALL slot pairs interact through
+    the shared latent space — sum_{a<b} <lat_a, lat_b>, i.e. exactly the
+    FM inductive bias.  v4 exists because the v3 structure (6 strong
+    pair-specific couplings, 319 zero pairs) is statistically adversarial
+    to generic interaction models: they must DISCOVER the sparse pair
+    support from data, an estimation cost the matched-form probe does
+    not pay, so no generic model could close the gap to the realizable
+    ceiling.  Real Criteo behaves like "fm": FM/DeepFM/DCN all land
+    within ~0.02 of each other (models/rank/readme.md), evidence that
+    its interactions are dense and low-rank — the form every
+    interaction model can represent."""
     s = w[fs].sum(1)
-    for a, b in PAIR_SLOTS:
-        s += (lat[fs[:, a]] * lat[fs[:, b]]).sum(1)
+    if pair_mode == "fm":
+        g = lat[fs]  # (n, S, 4)
+        tot = g.sum(axis=1)
+        s += 0.5 * ((tot * tot).sum(axis=1) - (g * g).sum(axis=(1, 2)))
+    else:
+        for a, b in PAIR_SLOTS:
+            s += (lat[fs[:, a]] * lat[fs[:, b]]).sum(1)
     return s + dense @ beta + bias
 
 
-def posterior_effects(w, lat, counts, info, rng_seed=7):
+def posterior_effects(w, lat, counts, info, rng_seed=7, lat_obs_mult=1.0):
     """The ideal Bayesian learner's (posterior-mean) effects given the
     realized per-feasign train counts and per-observation Fisher info.
 
     Returns (w_mean, lat_mean, w_post, lat_post): the noise-free
     shrunken means (an unreachable upper bound) and the posterior means
     including irreducible estimation noise (the honest ceiling).
+
+    lat_obs_mult: observation-precision multiplier for the latents.  In
+    "six" mode a paired feasign's latent is observed through ONE partner
+    per occurrence (mult 1).  In "fm" mode every occurrence observes
+    <lat_f, sum of S-1 partner latents> — the regressor's variance is
+    (S-1)x a single partner's, so per-occurrence precision scales by
+    S-1 = 25.
     """
     rng = np.random.RandomState(rng_seed)
     var_w = w.astype(np.float64) ** 2
@@ -101,7 +126,8 @@ def posterior_effects(w, lat, counts, info, rng_seed=7):
     var_l = (lat.astype(np.float64) ** 2).mean(1, keepdims=True)
     mean_var_l = float((lat.astype(np.float64) ** 2).mean())
     kap_l = np.where(var_l > 0,
-                     1.0 / (info * mean_var_l * np.maximum(var_l, 1e-12)),
+                     1.0 / (info * lat_obs_mult * mean_var_l
+                            * np.maximum(var_l, 1e-12)),
                      np.inf)
     lam_l = counts[:, None] / (counts[:, None] + kap_l)
     lat_mean = (lam_l * lat).astype(np.float32)

@@ -60,12 +60,52 @@ class SynthPairNet(nn.Module):
         return first + second + dense @ beta + bias
 
 
+class SynthFMNet(nn.Module):
+    """Matched form for the v4 ("fm" pair_mode) corpus:
+    score = sum_s w[fs_s] + sum_{a<b} lat[fs_a].lat[fs_b]
+          + dense @ beta + bias — exactly synth_model.score(pair_mode=
+    "fm"), i.e. a factorization machine with a scalar lane."""
+
+    vocab_size: int
+    init_stddev: float = 0.05
+    table_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
+        fused = SlotEmbedding(
+            self.vocab_size, 1 + LAT_DIM, name="embedding",
+            init_stddev=self.init_stddev, param_dtype=self.table_dtype,
+        )(sparse_ids)  # (B, S, 1+LAT): lane 0 = w, lanes 1: = latent
+        first = fused[..., 0].sum(axis=1)
+        lat = fused[..., 1:].astype(jnp.float32)
+        tot = lat.sum(axis=1)
+        second = 0.5 * ((tot * tot).sum(axis=-1)
+                        - (lat * lat).sum(axis=(1, 2)))
+        beta = self.param(
+            "dense_w", nn.initializers.normal(1e-2), (dense.shape[-1],)
+        )
+        bias = self.param("bias", nn.initializers.zeros, ())
+        return first + second + dense @ beta + bias
+
+
 @register_model("dev.synth_pair")
 class ModelDef(CTRModelDef):
     def __init__(self, config):
         super().__init__(config)
         self.sparse_embed_logical_dim = 1 + LAT_DIM
         self.module = SynthPairNet(
+            self.vocab_size,
+            init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
+            table_dtype=self.table_dtype(),
+        )
+
+
+@register_model("dev.synth_fm")
+class FMModelDef(CTRModelDef):
+    def __init__(self, config):
+        super().__init__(config)
+        self.sparse_embed_logical_dim = 1 + LAT_DIM
+        self.module = SynthFMNet(
             self.vocab_size,
             init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
             table_dtype=self.table_dtype(),
