@@ -25,7 +25,7 @@ from paddlerec_tpu.train.online import OnlineTrainer  # noqa: E402
 
 
 def main():
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "/root/criteo_v3"
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/root/criteo_v4"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/online_scale"
     meta = json.load(open(os.path.join(corpus, "meta.json")))
     shutil.rmtree(out, ignore_errors=True)

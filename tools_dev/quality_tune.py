@@ -124,7 +124,7 @@ def run_plan(t: Trainer, plan: list, model: str, meta: dict) -> list:
 
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "rank.deepfm"
-    data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_v3"
+    data = sys.argv[2] if len(sys.argv) > 2 else "/root/criteo_v4"
     plan = DEFAULT_PLAN
     if len(sys.argv) > 3:
         with open(sys.argv[3]) as f:
