@@ -160,13 +160,21 @@ int main(int argc, char** argv) {
   // 'host0:9527' topology) — bind all interfaces unless told otherwise
   in_addr_t bind_addr = htonl(INADDR_ANY);
   int first_shard = 2;
-  if (first_shard + 1 < argc && strcmp(argv[first_shard], "--bind") == 0) {
+  if (first_shard < argc && strcmp(argv[first_shard], "--bind") == 0) {
+    if (first_shard + 1 >= argc) {
+      fprintf(stderr, "cube_server: --bind needs an address\n");
+      return 2;
+    }
     if (inet_pton(AF_INET, argv[first_shard + 1], &bind_addr) != 1) {
       fprintf(stderr, "cube_server: bad --bind address %s\n",
               argv[first_shard + 1]);
       return 2;
     }
     first_shard += 2;
+  }
+  if (first_shard >= argc) {  // --bind consumed everything: no shards
+    fprintf(stderr, "cube_server: at least one shard file is required\n");
+    return 2;
   }
   long dim0 = -1;
   for (int i = first_shard; i < argc; ++i) {

@@ -299,19 +299,30 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
             )
             results.append({"batch": bs, "devices": devices,
                             "ips": round(ips, 1), "steps": steps})
-    with open(record_path, "w") as f:
-        json.dump(
-            {"model": model_name, "results": results,
-             "regressions": regressions, "skipped": skipped,
-             "warmup": warmup,
-             "backend": jax.default_backend(), "ts": time.time()}, f
-        )
-    print(f"benchmark record: {record_path}")
+    record = {"model": model_name, "results": results,
+              "regressions": regressions, "skipped": skipped,
+              "warmup": warmup,
+              "backend": jax.default_backend(), "ts": time.time()}
+    # the run artifact (with any regression findings) always lands in
+    # output_dir for the summary tool; the TRACKED baseline is updated
+    # only on a clean run — overwriting it with regressed results would
+    # ratchet the >20% gate down so it fires exactly once
+    run_path = os.path.join(output_dir, f"benchmark_train_{model_name}.json")
+    if not (regressions
+            and os.path.abspath(run_path) == os.path.abspath(record_path)):
+        with open(run_path, "w") as f:
+            json.dump(record, f)
     if regressions:
+        print(f"benchmark record: {run_path} (baseline kept: "
+              f"{record_path})")
         print(f"benchmark_train {model_name} FAILED: "
               f"{len(regressions)} cell(s) regressed "
               f">{REGRESSION_TOLERANCE:.0%}")
         return False
+    if os.path.abspath(record_path) != os.path.abspath(run_path):
+        with open(record_path, "w") as f:
+            json.dump(record, f)
+    print(f"benchmark record: {record_path}")
     return bool(results)
 
 

@@ -1,12 +1,15 @@
 """Round-over-round benchmark_train diff summary (VERDICT r2 W6).
 
-Collects every test_tipc/output/benchmark_train_<model>.json into ONE
+Collects every benchmark_train_<model>.json in a directory into ONE
 summary record with the per-model ips matrix and the regression list;
-exits non-zero when any model regressed >20% vs its previous record
-(the per-model records store their own regression findings — this tool
-aggregates them so CI has a single artifact + exit code to gate on).
+exits non-zero when any model regressed >20% vs its previous record,
+OR when the directory holds no records at all (a gate that inspected
+no data must not read as green).  Point it at test_tipc/output to
+aggregate a run's artifacts (run_benchmark always writes those, even
+on failure), or at test_tipc/benchmark_records to summarize the
+committed baselines.
 
-usage: python -m paddlerec_tpu.tools.tipc_benchmark_summary [output_dir]
+usage: python -m paddlerec_tpu.tools.tipc_benchmark_summary [dir]
 """
 
 from __future__ import annotations
@@ -64,6 +67,10 @@ def main(argv=None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     output_dir = args[0] if args else "test_tipc/output"
     summary = summarize(output_dir)
+    if not summary["models"]:
+        print(f"benchmark summary: NO records under {output_dir} — "
+              "nothing was gated")
+        return 1
     return 1 if summary["regressions"] else 0
 
 

@@ -244,34 +244,21 @@ class HostTableTrainer:
                         b = wire_enc(b)
                     prepared.append(b)
                 if super_k > 1 and len(prepared) > 1:
-                    def _sig(b):
-                        return {k2: (v.shape, v.dtype)
-                                for k2, v in b.items()}
+                    from paddlerec_tpu.data.superbatch import (
+                        stack_superbatches,
+                    )
 
-                    g0 = 0
-                    while g0 < len(prepared):
-                        # groups split at shape/dtype boundaries (ragged
-                        # tail, wire escalation) so np.stack never sees
-                        # ragged inputs and no batch is dropped
-                        cut = g0 + 1
-                        while (cut < min(g0 + super_k, len(prepared))
-                               and _sig(prepared[cut])
-                               == _sig(prepared[g0])):
-                            cut += 1
-                        group = prepared[g0:cut]
-                        g0 = cut
-                        sb = {
-                            k2: np.stack([x[k2] for x in group])
-                            for k2 in group[0]
-                        }
+                    for sb in stack_superbatches(prepared, super_k):
                         db = jax.device_put(sb, sb_sharding)
-                        for i in range(len(group)):
+                        lead = next(iter(sb.values()))
+                        for i in range(int(lead.shape[0])):
                             t.state, metric_state, loss = (
                                 t._train_step_super(
                                     t.state, db, jnp.int32(i), metric_state
                                 )
                             )
-                            total += t._batch_rows(group[i])
+                            # rows per sub-batch: dim 0 is the stack axis
+                            total += int(lead.shape[1])
                 else:
                     for b in prepared:
                         db = jax.device_put(b, t.batch_sharding)

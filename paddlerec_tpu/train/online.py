@@ -90,6 +90,38 @@ class _ArrayDataset:
             yield batch
 
 
+def _allgather_sparse(rows: np.ndarray, vals: Optional[np.ndarray] = None):
+    """Padded-to-max allgather of each host's (row ids[, values]):
+    exchange bytes ∝ the max per-host touched rows, never table rows
+    (the `Trainer._geo_sync` exchange shape).  Collective — every
+    process must call in lockstep.  Returns (rows_by_host,
+    vals_by_host) lists; vals_by_host is None when ``vals`` is None."""
+    from jax.experimental import multihost_utils
+
+    rows = np.asarray(rows, np.int64)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(rows)], np.int64)
+    )).reshape(-1)
+    cap = int(counts.max())
+    n_hosts = len(counts)
+    if cap == 0:
+        empty_rows = [np.zeros(0, np.int64) for _ in range(n_hosts)]
+        if vals is None:
+            return empty_rows, None
+        return empty_rows, [np.zeros((0,) + vals.shape[1:], vals.dtype)
+                            for _ in range(n_hosts)]
+    rows_pad = np.zeros(cap, np.int64)
+    rows_pad[: len(rows)] = rows
+    g_rows = np.asarray(multihost_utils.process_allgather(rows_pad))
+    out_rows = [g_rows[h, : int(counts[h])] for h in range(n_hosts)]
+    if vals is None:
+        return out_rows, None
+    vals_pad = np.zeros((cap,) + vals.shape[1:], vals.dtype)
+    vals_pad[: len(vals)] = vals
+    g_vals = np.asarray(multihost_utils.process_allgather(vals_pad))
+    return out_rows, [g_vals[h, : int(counts[h])] for h in range(n_hosts)]
+
+
 class FeatureStats:
     """Per-row show counters with daily decay — feature lifecycle bookkeeping.
 
@@ -99,11 +131,17 @@ class FeatureStats:
     Here the stats live host-side (one float + one int per physical table
     row) and eviction zeroes the corresponding rows of the table and its
     optimizer moments.
+
+    ``track_base=True`` (multi-host): keeps a snapshot of ``show`` at the
+    last cross-host merge so `local_delta`/`apply_global` can exchange
+    only the rows observed since — each host sees only its own file
+    shard, and eviction/persistence must act on the GLOBAL view.
     """
 
     def __init__(self, num_rows: int, decay: float = 0.98,
                  delete_threshold: float = 0.8,
-                 delete_after_unseen_days: int = 30):
+                 delete_after_unseen_days: int = 30,
+                 track_base: bool = False):
         self.show = np.zeros((num_rows,), np.float32)
         self.unseen_days = np.zeros((num_rows,), np.int32)
         # rows the table has actually hosted — only these are eligible
@@ -113,6 +151,7 @@ class FeatureStats:
         self.decay = decay
         self.delete_threshold = delete_threshold
         self.delete_after_unseen_days = delete_after_unseen_days
+        self._show_base = self.show.copy() if track_base else None
 
     def observe(self, rows: np.ndarray) -> None:
         rows = rows.reshape(-1)
@@ -140,7 +179,33 @@ class FeatureStats:
         self.show[evict] = 0.0
         self.unseen_days[evict] = 0
         self.seen[evict] = False
+        if self._show_base is not None:
+            self._show_base = self.show.copy()
         return evict_rows
+
+    def local_delta(self):
+        """(rows, show increments) observed on THIS host since the last
+        merge — observe() only ever adds, so changed-vs-base rows are
+        exactly the locally observed set."""
+        rows = np.nonzero(self.show != self._show_base)[0]
+        return rows, (self.show[rows]
+                      - self._show_base[rows]).astype(np.float32)
+
+    def apply_global(self, rows_by_host, deltas_by_host) -> None:
+        """Replace the local view with the merged global one: show =
+        base + every host's increments; rows any host observed count as
+        seen-today everywhere.  All hosts end up bit-identical."""
+        show = self._show_base
+        for r, d in zip(rows_by_host, deltas_by_host):
+            if len(r):
+                show[r] += d  # per-host rows are unique (np.unique'd)
+        self.show = show
+        touched = [r for r in rows_by_host if len(r)]
+        if touched:
+            allr = np.unique(np.concatenate(touched))
+            self.unseen_days[allr] = -1  # observed this day (see observe_unique)
+            self.seen[allr] = True
+        self._show_base = self.show.copy()
 
     def save(self, path: str) -> None:
         np.savez(path, show=self.show, unseen_days=self.unseen_days,
@@ -151,6 +216,9 @@ class FeatureStats:
         self.show = z["show"]
         self.unseen_days = z["unseen_days"]
         self.seen = z["seen"]
+        if self._show_base is not None:
+            # every host restores the same merged artifact — fresh sync point
+            self._show_base = self.show.copy()
 
 
 class OnlineTrainer(Trainer):
@@ -193,6 +261,7 @@ class OnlineTrainer(Trainer):
         self.prefetch_next_pass = bool(config.runner("prefetch", False))
         self._prefetch_thread = None
         self._prefetched = None  # (key, dataset)
+        self._gather_jit = None  # cached multi-host row-gather executable
 
     # -- donefile protocol -----------------------------------------------------
     # All donefile / data-gating / stats IO routes through utils/fs.py so
@@ -220,6 +289,8 @@ class OnlineTrainer(Trainer):
         return rec  # {"day":..., "pass":..., "path":...}
 
     def write_done(self, day: str, pass_id: int, path: str, kind: str) -> None:
+        if jax.process_index() != 0:
+            return  # one writer: concurrent appends duplicate/interleave
         done = self._donefile()
         self._fs(done).append_line(
             done,
@@ -287,7 +358,23 @@ class OnlineTrainer(Trainer):
                 "table_parameters.delete_threshold", 0.8)),
             delete_after_unseen_days=int(self.config.get(
                 "table_parameters.delete_after_unseen_days", 30)),
+            # multi-host dp: each host observes only its own file shard,
+            # so eviction/persistence must merge to the global view first
+            track_base=jax.process_count() > 1,
         )
+
+    def _merge_stats_global(self) -> None:
+        """Collective: merge per-host lifecycle stats into the identical
+        GLOBAL view on every process.  Exchange bytes ∝ rows observed
+        since the last merge (sparse, like the geo diff push) — never
+        O(table rows × hosts)."""
+        if jax.process_count() <= 1 or not self.stats:
+            return
+        for name in sorted(self.stats):
+            st = self.stats[name]
+            rows, delta = st.local_delta()
+            g_rows, g_vals = _allgather_sparse(rows, delta)
+            st.apply_global(g_rows, g_vals)
 
     def _warn_untracked(self, name: str, why: str) -> None:
         if name in self._untracked_warned:
@@ -353,6 +440,8 @@ class OnlineTrainer(Trainer):
                     st = self.stats[name]
                     st.show, st.unseen_days, st.seen = (
                         z["show"], z["unseen_days"], z["seen"])
+                    if st._show_base is not None:
+                        st._show_base = st.show.copy()
             return
         for name, st in (self.stats or {}).items():
             k = self._stats_key(name)
@@ -360,9 +449,18 @@ class OnlineTrainer(Trainer):
                 st.show = z[f"{k}--show"]
                 st.unseen_days = z[f"{k}--unseen_days"]
                 st.seen = z[f"{k}--seen"]
+                if st._show_base is not None:
+                    st._show_base = st.show.copy()
 
     def _save_stats(self, save_root: str, tag: str) -> None:
+        """Collective under multi-host: merge to the global view first,
+        then ONE process writes (every-host writes of per-host-different
+        stats to the same path raced, and the survivor was one arbitrary
+        host's view)."""
         if not self.stats:
+            return
+        self._merge_stats_global()
+        if jax.process_index() != 0:
             return
         dest = os.path.join(save_root, f"{tag}_stats.npz")
         if "://" in save_root:
@@ -399,9 +497,16 @@ class OnlineTrainer(Trainer):
     def shrink(self) -> int:
         """Evict stale feature rows per table: zero the table's rows and
         its optimizer moments (matched by param-path name, never by
-        geometry — two tables may share a row count)."""
+        geometry — two tables may share a row count).
+
+        Collective under multi-host: stats merge to the global view
+        first, so every process computes the SAME evict set and
+        `_zero_table_rows` dispatches identical computations on the
+        shared sharded arrays (per-host-divergent evict sets would
+        silently fork table state across hosts)."""
         if not self.stats:
             return 0
+        self._merge_stats_global()
         total = 0
         for name, st in self.stats.items():
             evict_rows = st.end_day()
@@ -464,13 +569,17 @@ class OnlineTrainer(Trainer):
         """Multi-host dp: each host only observed its own file shard's
         batches, so the published delta must cover the UNION of touched
         rows (writing per-host masks from every process raced on the
-        same files and produced incomplete artifacts — ADVICE r2)."""
+        same files and produced incomplete artifacts — ADVICE r2).
+        Exchanges only the nonzero row ids (padded to the max host's
+        count), never the O(table rows) mask itself."""
         if jax.process_count() <= 1:
             return mask
-        from jax.experimental import multihost_utils
-
-        g = multihost_utils.process_allgather(mask)
-        return np.any(np.asarray(g), axis=0)
+        rows = np.nonzero(mask)[0].astype(np.int64)
+        g_rows, _ = _allgather_sparse(rows)
+        union = np.zeros_like(mask)
+        for r in g_rows:
+            union[r] = True
+        return union
 
     def _gather_rows(self, leaf, rows: np.ndarray) -> np.ndarray:
         """Values of ``rows`` of a (possibly multi-host sharded) table,
@@ -478,10 +587,14 @@ class OnlineTrainer(Trainer):
         (it is a collective under process_count>1)."""
         idx = jnp.asarray(rows)
         if jax.process_count() > 1:
-            out = jax.jit(
-                lambda t, r: t[r].astype(jnp.float32),
-                out_shardings=self.replicated,
-            )(leaf, idx)
+            if self._gather_jit is None:
+                # cached: a fresh lambda per call would never hit the jit
+                # cache and recompile per table per publish
+                self._gather_jit = jax.jit(
+                    lambda t, r: t[r].astype(jnp.float32),
+                    out_shardings=self.replicated,
+                )
+            out = self._gather_jit(leaf, idx)
             return np.asarray(jax.device_get(out))
         return np.asarray(jax.device_get(leaf[idx]), np.float32)
 

@@ -220,6 +220,17 @@ class Trainer:
         unknown = set(values) - set(hp)
         if unknown:
             raise KeyError(f"not injected hyperparams: {sorted(unknown)}")
+        if getattr(self, "_geo_local", False) and float(
+                values.get("embedding_l2", 0.0) or 0.0):
+            # the __init__ refusal only sees the static config; raising
+            # el2 at runtime would reintroduce the same divergence (decay
+            # moves EVERY row each local step; the rendezvous only ships
+            # touched-row diffs)
+            raise ValueError(
+                "sync_mode: geo does not compose with embedding_l2 "
+                "(runtime-injected or static) — untouched rows would "
+                "decay by different amounts on workers with uneven shards"
+            )
         new_hp = dict(hp)
         for k, v in values.items():
             new_hp[k] = jax.device_put(
@@ -541,6 +552,39 @@ class Trainer:
         for batch in PrefetchIterator(iter(dataset), depth=4):
             yield jax.device_put(batch, self.batch_sharding)
 
+    def _resident_key(self, kind: str, data_dir: str,
+                      batch_size: int) -> str:
+        """Resident-store key including a corpus content signature
+        (file names + sizes + mtimes), so refreshed on-disk data is
+        restaged instead of silently replaying the old corpus from HBM;
+        entries for a superseded signature are dropped (freeing their
+        HBM) rather than accumulating."""
+        import hashlib
+
+        prefix = f"{kind}:{data_dir}:{batch_size}"
+        try:
+            from paddlerec_tpu.data.slot_reader import list_data_files
+
+            stats = [
+                (f, os.stat(f).st_size, os.stat(f).st_mtime_ns)
+                for f in list_data_files(data_dir)
+            ]
+            sig = hashlib.md5(repr(stats).encode()).hexdigest()[:12]
+        except OSError:
+            sig = "nosig"  # remote/unlistable dir: no staleness detection
+        key = f"{prefix}:{sig}"
+        stale = [
+            c for c in self._resident
+            if c.startswith(prefix + ":") and c != key
+        ]
+        for c in stale:
+            del self._resident[c]
+            logger.info(
+                "feed_device_resident: dropped stale resident corpus %r "
+                "(data under %r changed)", c, data_dir,
+            )
+        return key
+
     def _resident_superbatches(self, dataset, k: int, key: str):
         """Device-RESIDENT feed (``runner.feed_device_resident``): the
         staged superbatches stay in HBM after the first pass and replay
@@ -604,41 +648,16 @@ class Trainer:
                 yield sb, i
 
     def _staged_superbatches(self, dataset, k: int):
-        def sig(b):
-            return {key: (v.shape, v.dtype) for key, v in b.items()}
-
-        def stacked():
-            buf = []
-            for b in dataset:
-                if buf and sig(b) != sig(buf[0]):
-                    # shape/dtype changed mid-stream (tail batch, wire
-                    # escalation): flush what's staged rather than
-                    # crashing np.stack on ragged inputs
-                    yield {
-                        key: np.stack([x[key] for x in buf])
-                        for key in buf[0]
-                    }
-                    buf = []
-                buf.append(b)
-                if len(buf) == k:
-                    yield {
-                        key: np.stack([x[key] for x in buf])
-                        for key in buf[0]
-                    }
-                    buf = []
-            if buf:  # tail: smaller leading dim (compiles once per size)
-                yield {
-                    key: np.stack([x[key] for x in buf]) for key in buf[0]
-                }
-
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from paddlerec_tpu.data.superbatch import stack_superbatches
         from paddlerec_tpu.parallel.sharding import DP_AXIS
 
         # each sub-batch's rows split over dp (dim 1; dim 0 is the K axis)
         sb_sharding = NamedSharding(self.mesh, P(None, DP_AXIS))
         for sb in PrefetchIterator(
-            (jax.device_put(s, sb_sharding) for s in stacked()), depth=3
+            (jax.device_put(s, sb_sharding)
+             for s in stack_superbatches(dataset, k)), depth=3
         ):
             for i in range(int(next(iter(sb.values())).shape[0])):
                 yield sb, i
@@ -1081,7 +1100,8 @@ class Trainer:
             for batch_id, batch in enumerate(
                     self._device_batches(
                         dataset, allow_super=True,
-                        resident_key=f"train:{data_dir}:{batch_size}",
+                        resident_key=self._resident_key(
+                            "train", data_dir, batch_size),
                     )):
                 if profiler_options:
                     from paddlerec_tpu.utils.profiler import add_profiler_step
@@ -1193,7 +1213,7 @@ class Trainer:
         eval_batches = self._device_batches(
             dataset, allow_super=not dumping,
             resident_key=None if dumping
-            else f"eval:{data_dir}:{batch_size}",
+            else self._resident_key("eval", data_dir, batch_size),
         )
         metric_state = self._init_metric_state()
         # dump_fields: per-instance variable dumps for the on/off-line

@@ -4,8 +4,10 @@
 # with warmup excluded and >=50 timed steps per cell; a >20% ips drop
 # vs the committed benchmark_train_<model>.json (in the TRACKED
 # test_tipc/benchmark_records/) FAILS that model, and this driver
-# exits non-zero if any model failed.  A summary lands in
-# test_tipc/benchmark_records/benchmark_summary.json.
+# exits non-zero if any model failed.  Run artifacts (including any
+# regression findings — regressed runs never overwrite the tracked
+# baseline) land in test_tipc/output/, which the summary aggregates
+# into test_tipc/output/benchmark_summary.json.
 #
 # usage: bash test_tipc/benchmark_train.sh [--cpu N] [config_txt ...]
 set -u
@@ -27,5 +29,5 @@ for cfg in "${CONFIGS[@]}"; do
     ${CPU_ARGS[@]+"${CPU_ARGS[@]}"} || FAIL=1
 done
 python -m paddlerec_tpu.tools.tipc_benchmark_summary \
-  test_tipc/benchmark_records || FAIL=1
+  test_tipc/output || FAIL=1
 exit $FAIL

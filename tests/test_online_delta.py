@@ -154,3 +154,40 @@ def test_donefile_roundtrip_through_fs(tmp_path):
     fs.append_line(p, "b\t2")
     assert fs.read_text(p).splitlines() == ["a\t1", "b\t2"]
     assert fs.isdir(str(tmp_path)) and not fs.isdir(p)
+
+
+def test_feature_stats_global_merge():
+    """Multi-host stats merge (sparse exchange): show sums every host's
+    increments since the last merge, rows any host observed count as
+    seen-today everywhere, and repeated merges never double-count."""
+    import numpy as np
+
+    from paddlerec_tpu.train.online import FeatureStats
+
+    hosts = [FeatureStats(10, track_base=True) for _ in range(2)]
+    hosts[0].observe(np.array([1, 1, 2]))
+    hosts[1].observe(np.array([2, 3]))
+
+    def merge(stats):
+        deltas = [st.local_delta() for st in stats]
+        rows_by_host = [r for r, _ in deltas]
+        vals_by_host = [v for _, v in deltas]
+        for st in stats:
+            st.apply_global(rows_by_host, vals_by_host)
+
+    merge(hosts)
+    for st in hosts:
+        assert st.show[1] == 2.0 and st.show[2] == 2.0 and st.show[3] == 1.0
+        assert st.seen[1] and st.seen[2] and st.seen[3]
+        assert st.unseen_days[1] == -1
+    # second merge with no new observations: a no-op (no double count)
+    merge(hosts)
+    assert all(st.show[2] == 2.0 for st in hosts)
+    # end_day on the merged state is identical everywhere
+    ev0, ev1 = hosts[0].end_day(), hosts[1].end_day()
+    assert np.array_equal(ev0, ev1)
+    # post-end_day observations merge from the refreshed base
+    hosts[0].observe(np.array([5]))
+    merge(hosts)
+    assert all(st.show[5] == 1.0 for st in hosts)
+    assert all(st.show[9] == 0.0 for st in hosts)

@@ -80,3 +80,29 @@ def test_resident_off_by_default(tmp_path):
     t = Trainer(cfg)
     t.train()
     assert not t._resident
+
+
+def test_resident_restages_when_corpus_changes(tmp_path):
+    """The resident key carries a corpus content signature: refreshed
+    on-disk data must be restaged, and the superseded entry dropped
+    (frees its HBM) instead of silently replaying the old corpus."""
+    import os
+    import time
+
+    data = str(tmp_path / "train")
+    write_criteo_sample(data, num_lines=96, num_files=2, vocab=1000)
+    t = Trainer(_cfg(data, **{"runner.epochs": 1}))
+    t.train()
+    keys1 = [k for k in t._resident if k.startswith("train:")]
+    assert len(keys1) == 1
+
+    # refresh the corpus in place (new content, mtime bumped)
+    write_criteo_sample(data, num_lines=96, num_files=2, vocab=1000,
+                        seed=99)
+    f0 = sorted(os.listdir(data))[0]
+    now = time.time() + 2
+    os.utime(os.path.join(data, f0), (now, now))
+    t.train()
+    keys2 = [k for k in t._resident if k.startswith("train:")]
+    assert len(keys2) == 1
+    assert keys2 != keys1  # new signature → restaged

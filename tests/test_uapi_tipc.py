@@ -185,3 +185,62 @@ def test_tipc_benchmark_train_mode(tmp_path):
         assert not run_benchmark(str(cfg), str(out), record_dir=str(out))
     finally:
         os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
+
+
+def test_benchmark_regression_keeps_baseline(tmp_path):
+    """A regressed run must NOT overwrite the tracked baseline record
+    (otherwise the >20% gate ratchets down and fires exactly once); the
+    run artifact with the findings lands in output_dir instead."""
+    import json
+    import os
+
+    from paddlerec_tpu.tools.tipc import run_benchmark
+
+    cfg = tmp_path / "bench.txt"
+    data = tmp_path / "data"
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+    write_criteo_sample(str(data), num_lines=128, num_files=1, vocab=1000)
+    cfg.write_text(
+        "model_name:dnn\n"
+        "runner.model:rank.dnn\n"
+        f"runner.train_data_dir:{data}\n"
+        "hyper_parameters.sparse_inputs_slots:27\n"
+        "hyper_parameters.dense_input_dim:13\n"
+        "hyper_parameters.sparse_feature_number:1000\n"
+        "hyper_parameters.sparse_feature_dim:8\n"
+        "hyper_parameters.fc_sizes:[16]\n"
+        "benchmark.batch_sizes:32\n"
+        "benchmark.device_nums:1\n"
+        "benchmark.steps:4\n"
+    )
+    out = tmp_path / "out"
+    records = tmp_path / "records"
+    os.makedirs(records, exist_ok=True)
+    rec_path = records / "benchmark_train_dnn.json"
+    os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    try:
+        # seed an inflated baseline: the live run must regress against it
+        assert run_benchmark(str(cfg), str(out), record_dir=str(records))
+        baseline = json.load(open(rec_path))
+        inflated = dict(baseline)
+        inflated["results"] = [
+            dict(r, ips=r["ips"] * 100.0) for r in baseline["results"]
+        ]
+        rec_path.write_text(json.dumps(inflated))
+        assert not run_benchmark(str(cfg), str(out), record_dir=str(records))
+    finally:
+        os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
+    # tracked baseline untouched by the failing run
+    assert json.load(open(rec_path)) == inflated
+    # ...but the run artifact (with the regression findings) exists
+    run_rec = json.load(open(out / "benchmark_train_dnn.json"))
+    assert run_rec["regressions"], run_rec
+
+
+def test_benchmark_summary_empty_dir_fails(tmp_path):
+    """A summary over a dir with no records must exit non-zero — a gate
+    that inspected no data must not read as green."""
+    from paddlerec_tpu.tools.tipc_benchmark_summary import main
+
+    assert main([str(tmp_path)]) == 1
