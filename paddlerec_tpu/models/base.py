@@ -239,17 +239,26 @@ class ModelDef:
         return jax.tree.map(lambda g: g * scale, grads)
 
     def apply_sparse_updates(self, params: Any, extra, grads: Any,
-                             batch: Batch, rng=None):
+                             batch: Batch, rng=None,
+                             mp_tables: frozenset = frozenset()):
         """Consume delta grads → row-wise Adam on the tapped tables.
 
         Runs inside the jitted train step, after the dense optimizer
-        (which sees zero updates for the table and delta leaves)."""
+        (which sees zero updates for the table and delta leaves).
+
+        ``mp_tables``: static set of "/"-joined table paths that are
+        row-sharded over the mesh's mp axis (the trainer reads it off
+        the live param shardings) — those route to the shard_map'd
+        row-wise update (ops/sparse_update.apply_sparse_*_sharded)."""
         from paddlerec_tpu.ops.packed_embedding import sub_width
         from paddlerec_tpu.ops.sparse_update import (
             apply_sparse_adagrad, apply_sparse_adagrad_compact,
-            apply_sparse_adam_compact, apply_sparse_update,
+            apply_sparse_adagrad_sharded, apply_sparse_adam_compact,
+            apply_sparse_adam_sharded, apply_sparse_update, dedup_rows,
             find_sparse_taps, get_path, infer_pack, set_path,
         )
+        from paddlerec_tpu.parallel import context as parallel_context
+        from paddlerec_tpu.parallel.mesh import MP_AXIS
 
         adagrad = self._sparse_update_rule() == "adagrad"
         if not bool(self.config.hyper("sparse_update_stochastic_round",
@@ -267,11 +276,34 @@ class ModelDef:
         new_extra = dict(extra)
         for dpath, tpath in taps.items():
             table = get_path(params, tpath)
-            pack = infer_pack(vocab, table.shape[0])
             key = "/".join(dpath)
             dgrad = get_path(grads, dpath)
             if scale is not None:
                 dgrad = dgrad * scale
+            if "/".join(tpath) in mp_tables:
+                # composed sparse_update × mp: shard-local row-wise step
+                mesh = parallel_context.get_mesh()
+                mp = mesh.shape[MP_AXIS]
+                pack = infer_pack(vocab, table.shape[0], mp)
+                if "sparse_uniq" in batch and pack == default_pack:
+                    uniq = batch["sparse_uniq"]
+                    slot = batch["sparse_slot"]
+                else:
+                    # in-graph dedup fallback (device argsort — slower;
+                    # the input pipeline's host dedup is the fast path)
+                    phys = ((ids % vocab).reshape(-1)
+                            // pack).astype(jnp.int32)
+                    uniq, slot = dedup_rows(phys, table.shape[0])
+                apply_fn = (apply_sparse_adagrad_sharded if adagrad
+                            else apply_sparse_adam_sharded)
+                new_table, st = apply_fn(
+                    mesh, table, extra[key], dgrad, uniq, slot, lr,
+                    rng=rng,
+                )
+                params = set_path(params, tpath, new_table)
+                new_extra[key] = st
+                continue
+            pack = infer_pack(vocab, table.shape[0])
             if "sparse_uniq" in batch and pack == default_pack:
                 # host-deduped fast path: O(batch) scratch, unique
                 # scatter indices — required for vocab >= ~10^8

@@ -104,6 +104,21 @@ class SlotEmbedding(nn.Module):
             return self.distributed and context.get_mesh() is not None
         return self.packed and context.model_parallel_size() > 1
 
+    @staticmethod
+    def _check_delta_capacity(n: int, cap: int) -> None:
+        if cap <= 0:
+            raise ValueError(
+                "external_update requires an explicit delta_capacity "
+                "(params are initialized from a tiny example batch, so "
+                "sizing from the first batch cannot work; "
+                "ModelDef.sparse_embed_kwargs computes the right value)"
+            )
+        if n > cap:
+            raise ValueError(
+                f"batch has {n} lookup positions > delta_capacity {cap}; "
+                "raise hyper_parameters.sparse_update_capacity"
+            )
+
     def _external_lookup(self, table: jnp.ndarray, ids: jnp.ndarray,
                          cap: int) -> jnp.ndarray:
         """Sparse-update path: stop-grad table read + delta grad tap.
@@ -118,18 +133,7 @@ class SlotEmbedding(nn.Module):
         w = sub_width(self.embedding_dim)
         pack = 128 // w
         n = int(np_prod(ids.shape))
-        if cap <= 0:
-            raise ValueError(
-                "external_update requires an explicit delta_capacity "
-                "(params are initialized from a tiny example batch, so "
-                "sizing from the first batch cannot work; "
-                "ModelDef.sparse_embed_kwargs computes the right value)"
-            )
-        if n > cap:
-            raise ValueError(
-                f"batch has {n} lookup positions > delta_capacity {cap}; "
-                "raise hyper_parameters.sparse_update_capacity"
-            )
+        self._check_delta_capacity(n, cap)
         # delta (and therefore the tapped grads) stays float32 even for
         # bf16 tables — bf16 per-position grads would truncate before
         # the row-sum
@@ -163,22 +167,6 @@ class SlotEmbedding(nn.Module):
         if self.hash_ids:
             ids = ids % self.vocab_size
         ids = ids.astype(jnp.int32)
-        if ext and self._use_distributed():
-            raise NotImplementedError(
-                "sparse_update does not compose with model-parallel "
-                "(mp) tables. It is also unnecessary below the HBM "
-                "bound: row-sharding over mp divides the dense "
-                "optimizer's table traffic AND its memory by the mp "
-                "size, so a 10^8-row table trains with plain dense Adam "
-                "on an 8-chip mp mesh (2 GB of table per chip). The "
-                "supported regimes: sparse_update for single-chip "
-                "big-vocab capacity (vocab up to ~10^8-10^9 rows bounded "
-                "by host RAM via use_host_table), mp sharding for "
-                "multi-chip up to ~2x10^9 rows at dim 9 on 8 chips "
-                "(f32 table + Adam moments fill 16 GB HBM/chip beyond "
-                "that). Vocabularies past BOTH bounds need the composed "
-                "mode, which this build deliberately does not implement."
-            )
         if ext and not self.hash_ids:
             raise ValueError(
                 "external_update requires hash_ids=True: the optimizer-"
@@ -202,7 +190,24 @@ class SlotEmbedding(nn.Module):
                 * jnp.asarray(self.init_stddev, dtype),
             )
             flat_ids = ids.reshape(ids.shape[0], -1)
-            vecs, overflow = eng.lookup_with_overflow(table, flat_ids)
+            if ext:
+                # composed sparse_update × mp: the delta grad tap rides
+                # the all_to_all exchange (lookup_external); the trainer
+                # applies a shard-local row-wise optimizer step
+                # (ops/sparse_update.apply_sparse_*_sharded).  This is
+                # the reference's production regime — per-feature
+                # accessors over PS-sharded tables
+                # (config_fleet.py:60-104) — for vocabularies past both
+                # the single-chip HBM bound and the dense-mp bound.
+                n = int(np_prod(ids.shape))
+                self._check_delta_capacity(n, cap)
+                delta = self.param(
+                    "embedding_delta", nn.initializers.zeros, (cap, 128),
+                    jnp.float32,
+                )
+                vecs, overflow = eng.lookup_external(table, delta, flat_ids)
+            else:
+                vecs, overflow = eng.lookup_with_overflow(table, flat_ids)
             # in-graph overflow observability (works on ANY mesh, incl.
             # multi-host where host-side probing cannot read the counts):
             # the trainer accumulates this into the metric bundle

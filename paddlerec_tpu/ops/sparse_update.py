@@ -263,6 +263,150 @@ def apply_sparse_adam_compact(
     )
 
 
+def _sharded_row_update(mesh, kernel, arrays, row_specs):
+    """shard_map a row-wise update kernel over the mesh's mp axis.
+
+    ``arrays`` lead with the mp-sharded table/state (specs from
+    ``row_specs``); the trailing replicated operands (grads, uniq, rng
+    bits) ride in with P().  Every dp replica computes identical values,
+    so the P(mp, ...) outputs are consistent across dp (check_vma off,
+    same as the exchange kernels in parallel/embedding.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = tuple(row_specs) + tuple(
+        P() for _ in range(len(arrays) - len(row_specs))
+    )
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=tuple(row_specs),
+        check_vma=False,
+    )(*arrays)
+
+
+def apply_sparse_adagrad_sharded(
+    mesh,
+    table: jnp.ndarray,
+    state: RowwiseAdagradState,
+    delta_grad: jnp.ndarray,
+    uniq: jnp.ndarray,
+    slot: jnp.ndarray,
+    lr: float,
+    eps: float = 1e-8,
+    rng=None,
+) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
+    """Row-wise adagrad on a P(mp, None)-sharded table.
+
+    The composed sparse_update × model-parallel mode (the reference
+    trains 10^10-row tables this way: DownpourSparseTable sharded over
+    PS servers with per-feature accessors, config_fleet.py:60-104).
+    ``uniq``/``slot`` are the REPLICATED host-deduped global physical
+    rows (sentinel-padded); each mp shard masks to the rows it owns
+    (global row r lives on shard r // rows_local) and applies the same
+    update math as apply_sparse_adagrad_compact to exactly those rows.
+    Only touched rows generate table/accumulator traffic — the dense
+    optimizer's full-shard traversal never happens.
+
+    Traffic note: each shard gathers the full N-length uniq list (masked
+    rows read row 0), so per-chip update traffic matches the single-chip
+    compact path rather than N/mp; the win is capacity + the dense
+    phases' mp scaling, not the update phase.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+    mp = mesh.shape[MP_AXIS]
+    rows_local = table.shape[0] // mp
+    n = slot.shape[0]
+    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
+        delta_grad[:n].astype(jnp.float32)
+    )
+    use_rng = rng is not None
+    rngbits = rng if use_rng else jnp.zeros((2,), jnp.uint32)
+
+    def kernel(tl, accl, gu, uq, rb):
+        s = jax.lax.axis_index(MP_AXIS)
+        lo = s * rows_local
+        owned = (uq >= lo) & (uq < lo + rows_local)
+        loc = jnp.where(owned, uq - lo, rows_local)  # out of range → drop
+        safe = jnp.where(owned, uq - lo, 0)
+        a_r = accl[safe] + (gu * gu).mean(-1)
+        t_n = (tl[safe].astype(jnp.float32)
+               - lr * gu * jax.lax.rsqrt(a_r + eps)[:, None])
+        t_c = _cast_to_table(t_n, tl, rb if use_rng else None)
+        return (
+            tl.at[loc].set(t_c, mode="drop"),
+            accl.at[loc].set(a_r, mode="drop"),
+        )
+
+    new_table, new_acc = _sharded_row_update(
+        mesh, kernel,
+        (table, state.acc, g_uniq, uniq, rngbits),
+        (P(MP_AXIS, None), P(MP_AXIS)),
+    )
+    return new_table, RowwiseAdagradState(acc=new_acc)
+
+
+def apply_sparse_adam_sharded(
+    mesh,
+    table: jnp.ndarray,
+    state: RowwiseAdamState,
+    delta_grad: jnp.ndarray,
+    uniq: jnp.ndarray,
+    slot: jnp.ndarray,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    rng=None,
+) -> Tuple[jnp.ndarray, RowwiseAdamState]:
+    """Row-wise lazy Adam on a P(mp, None)-sharded table (see the
+    adagrad variant for the routing/ownership scheme)."""
+    from jax.sharding import PartitionSpec as P
+
+    from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+    mp = mesh.shape[MP_AXIS]
+    rows_local = table.shape[0] // mp
+    n = slot.shape[0]
+    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
+        delta_grad[:n].astype(jnp.float32)
+    )
+    use_rng = rng is not None
+    rngbits = rng if use_rng else jnp.zeros((2,), jnp.uint32)
+
+    def kernel(tl, ml, vl, cl, gu, uq, rb):
+        s = jax.lax.axis_index(MP_AXIS)
+        lo = s * rows_local
+        owned = (uq >= lo) & (uq < lo + rows_local)
+        loc = jnp.where(owned, uq - lo, rows_local)
+        safe = jnp.where(owned, uq - lo, 0)
+        m_n = b1 * ml[safe] + (1.0 - b1) * gu
+        v_n = b2 * vl[safe] + (1.0 - b2) * gu * gu
+        c_r = cl[safe] + 1
+        c_f = c_r.astype(jnp.float32)[:, None]
+        t_n = tl[safe].astype(jnp.float32) - lr * (
+            m_n / (1.0 - b1**c_f)
+        ) / (jnp.sqrt(v_n / (1.0 - b2**c_f)) + eps)
+        t_c = _cast_to_table(t_n, tl, rb if use_rng else None)
+        kw = dict(mode="drop")
+        return (
+            tl.at[loc].set(t_c, **kw),
+            ml.at[loc].set(m_n, **kw),
+            vl.at[loc].set(v_n, **kw),
+            cl.at[loc].set(c_r, **kw),
+        )
+
+    new_table, m, v, count = _sharded_row_update(
+        mesh, kernel,
+        (table, state.m, state.v, state.count, g_uniq, uniq, rngbits),
+        (P(MP_AXIS, None), P(MP_AXIS, None), P(MP_AXIS, None), P(MP_AXIS)),
+    )
+    return new_table, RowwiseAdamState(m=m, v=v, count=count)
+
+
 def apply_sparse_update(
     table: jnp.ndarray,
     state: RowwiseAdamState,
@@ -315,14 +459,22 @@ def apply_sparse_update(
     )
 
 
-def infer_pack(vocab: int, rows: int) -> int:
+def infer_pack(vocab: int, rows: int, mp: int = 1) -> int:
     """Recover the pack factor of a packed (rows, 128) table from its row
-    count (same trick as tools/export_cube.py's width inference)."""
+    count (same trick as tools/export_cube.py's width inference).
+
+    mp > 1 matches the sharded-engine geometry, whose row count is
+    padded up to an mp multiple (parallel/embedding.py ShardedEmbedding)."""
     for w in (8, 16, 32, 64, 128):
         pack = 128 // w
-        if (vocab + pack - 1) // pack == rows:
+        base = (vocab + pack - 1) // pack
+        if mp > 1:
+            base = -(-base // mp) * mp
+        if base == rows:
             return pack
-    raise ValueError(f"no pack factor maps vocab {vocab} to {rows} rows")
+    raise ValueError(
+        f"no pack factor maps vocab {vocab} to {rows} rows (mp={mp})"
+    )
 
 
 def find_sparse_taps(params: Any) -> Dict[Tuple, Tuple]:

@@ -263,11 +263,32 @@ class ShardedEmbedding:
         the table; the counts carry no gradient)."""
         return self._lookup_fn(ids.shape)(table, ids)
 
+    def lookup_external(self, table, delta, ids):
+        """sparse_update (delta-tap) lookup through the sharded table.
+
+        The table is read via ``stop_gradient`` — autodiff never routes a
+        dense (rows, 128) cotangent through the all_to_all exchange —
+        and the replicated per-position ``delta`` (cap, 128) is added to
+        the gathered rows BEFORE sub-lane selection, exactly mirroring
+        ``SlotEmbedding._external_lookup`` on the packed single-chip
+        path.  Gradients therefore land on ``delta[:N]`` (one 128-lane
+        row per lookup position, psum'd to replicated over dp by GSPMD)
+        and the trainer turns them into a shard-local row-wise optimizer
+        step (``ops/sparse_update.apply_sparse_*_sharded``).
+
+        Returns (vecs, overflow) like ``lookup_with_overflow``."""
+        return self._lookup_ext_fn(ids.shape)(table, delta, ids)
+
     @functools.lru_cache(maxsize=32)
     def _lookup_fn(self, ids_shape: Tuple[int, ...]):
         return self._build(ids_shape)
 
-    def _build(self, ids_shape):
+    @functools.lru_cache(maxsize=32)
+    def _lookup_ext_fn(self, ids_shape: Tuple[int, ...]):
+        return self._build_external(ids_shape)
+
+    def _exchange_setup(self, ids_shape):
+        """Shared per-ids-shape plumbing: exchange kernels + id math."""
         n_global = int(np.prod(ids_shape))
         n_devices = self.dp * self.mp
         # pad the flat id list so it splits evenly over every device;
@@ -278,7 +299,7 @@ class ShardedEmbedding:
         fwd_x, bwd_x = _make_exchange_fns(
             self.mesh, self.mp, self.rows_local, capacity, 128
         )
-        w, pack, e = self.w, self.pack, self.embedding_dim
+        pack = self.pack
         vocab = self.vocab_size
         sentinel = self.rows  # invalid physical row
 
@@ -292,6 +313,14 @@ class ShardedEmbedding:
                     [phys, jnp.full((n_padded - n_global,), sentinel, jnp.int32)]
                 )
             return phys, sub
+
+        return fwd_x, bwd_x, _flat_phys_sub, n_global, n_padded
+
+    def _build(self, ids_shape):
+        fwd_x, bwd_x, _flat_phys_sub, n_global, n_padded = (
+            self._exchange_setup(ids_shape)
+        )
+        w, pack, e = self.w, self.pack, self.embedding_dim
 
         @jax.custom_vjp
         def lookup(table, ids):
@@ -335,3 +364,27 @@ class ShardedEmbedding:
 
         lookup.defvjp(fwd, bwd)
         return lookup
+
+    def _build_external(self, ids_shape):
+        """Delta-tap variant: stop-grad table read + differentiable
+        per-position delta add (see lookup_external)."""
+        fwd_x, _bwd_x, _flat_phys_sub, n_global, _np_ = (
+            self._exchange_setup(ids_shape)
+        )
+        w, pack, e = self.w, self.pack, self.embedding_dim
+
+        def lookup_ext(table, delta, ids):
+            phys, sub = _flat_phys_sub(ids)
+            rows, overflow = fwd_x(jax.lax.stop_gradient(table), phys)
+            # delta stays float32 (bf16 per-position grads truncate
+            # before the row sum); math upcasts to the delta dtype
+            rows = rows[:n_global].astype(delta.dtype) + delta[:n_global]
+            rows = rows.reshape(-1, pack, w)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_global, pack), 1)
+                == sub[:, None]
+            )
+            vecs = jnp.sum(rows * onehot[..., None].astype(rows.dtype), axis=1)
+            return vecs[:, :e].reshape(ids_shape + (e,)), overflow
+
+        return lookup_ext

@@ -24,6 +24,11 @@ MIN_ROWS_TO_SHARD = 8192
 
 def is_embedding_path(path) -> bool:
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    if names and str(names[-1]) == "embedding_delta":
+        # per-position grad tap (sparse_update) — batch-shaped scratch,
+        # not a table: stays replicated so its grads psum over dp and
+        # feed the shard-local row-wise update whole
+        return False
     return any(
         str(n) in (EMBEDDING_PARAM_NAME, "sparse_w") for n in names
     )

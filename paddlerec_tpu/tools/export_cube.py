@@ -50,11 +50,15 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
         if arr.shape[1] == 128 and vocab_size:
             # packed table: infer the lane-window width from the row count
             # (models fuse extra lanes, e.g. deepfm's dim+1 w1 lane, so the
-            # window may be wider than sparse_feature_dim)
+            # window may be wider than sparse_feature_dim).  mp-sharded
+            # tables carry a few padding rows (rounded up to an mp
+            # multiple); consecutive widths differ by ~2x in row count,
+            # so base <= rows < 2*base still identifies w uniquely.
             for w in (8, 16, 32, 64, 128):
                 pack = 128 // w
-                if arr.shape[0] == (vocab_size + pack - 1) // pack:
-                    dense = unpack_table(arr, vocab_size, w)
+                base = (vocab_size + pack - 1) // pack
+                if base <= arr.shape[0] < 2 * base:
+                    dense = unpack_table(arr[:base], vocab_size, w)
                     break
         if dense is None:
             dense = arr[:vocab_size] if arr.shape[0] >= vocab_size else arr

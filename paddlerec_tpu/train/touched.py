@@ -49,14 +49,24 @@ def batch_rows_by_table(
     from paddlerec_tpu.ops.sparse_update import infer_pack
 
     out = {}
+    from paddlerec_tpu.parallel import context as parallel_context
+
+    mp = parallel_context.model_parallel_size()
     for name, n_rows in table_rows.items():
         if vocab:
             try:
                 pack = infer_pack(vocab, n_rows)
             except ValueError:
-                warn(name, f"rows {n_rows} do not match vocab {vocab} "
-                           "under any pack factor")
-                continue
+                try:
+                    # mp-sharded engine geometry (rows padded to an mp
+                    # multiple, parallel/embedding.py ShardedEmbedding)
+                    pack = infer_pack(vocab, n_rows, mp) if mp > 1 else None
+                except ValueError:
+                    pack = None
+                if pack is None:
+                    warn(name, f"rows {n_rows} do not match vocab {vocab} "
+                               "under any pack factor")
+                    continue
             out[name] = ((ids % vocab) // pack) % n_rows
         else:
             out[name] = ids % n_rows

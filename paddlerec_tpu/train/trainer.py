@@ -159,7 +159,9 @@ class Trainer:
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         extra = None
         if hasattr(self.model_def, "init_sparse_state"):
-            extra = self.model_def.init_sparse_state(params)
+            extra = self._shard_extra(
+                self.model_def.init_sparse_state(params), params
+            )
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
             params=params,
@@ -194,7 +196,9 @@ class Trainer:
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         extra = None
         if hasattr(self.model_def, "init_sparse_state"):
-            extra = self.model_def.init_sparse_state(params)
+            extra = self._shard_extra(
+                self.model_def.init_sparse_state(params), params
+            )
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
             params=params,
@@ -295,6 +299,54 @@ class Trainer:
             )
 
     # -- jitted steps -----------------------------------------------------------
+    def _mp_table_paths(self) -> frozenset:
+        """Static set of "/"-joined param paths row-sharded over mp.
+
+        Read off the LIVE param shardings (not re-derived from shapes, so
+        it can never disagree with what init_state actually placed);
+        drives the composed sparse_update × mp routing in
+        ModelDef.apply_sparse_updates."""
+        from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+        if self.state is None or self.mesh.shape.get(MP_AXIS, 1) <= 1:
+            return frozenset()
+        out = set()
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            self.state.params
+        )[0]:
+            spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+            if spec and any(ax == MP_AXIS for ax in spec if ax is not None):
+                out.add("/".join(getattr(k, "key", str(k)) for k in path))
+        return frozenset(out)
+
+    def _shard_extra(self, extra, params):
+        """Place row-wise optimizer state on the same mp sharding as its
+        table: acc/count (rows,) → P(mp), m/v (rows, 128) → P(mp, None).
+        Non-mp tables keep the default (replicated) placement."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from paddlerec_tpu.ops.embedding import EMBEDDING_PARAM_NAME
+        from paddlerec_tpu.ops.sparse_update import get_path
+        from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+        if extra is None or self.mesh.shape.get(MP_AXIS, 1) <= 1:
+            return extra
+        out = {}
+        for key, st in extra.items():
+            tpath = tuple(key.split("/"))[:-1] + (EMBEDDING_PARAM_NAME,)
+            table = get_path(params, tpath)
+            spec = getattr(getattr(table, "sharding", None), "spec", None)
+            if spec and any(ax == MP_AXIS for ax in spec if ax is not None):
+                def put(x):
+                    row_spec = P(MP_AXIS, *([None] * (x.ndim - 1)))
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, row_spec)
+                    )
+
+                st = jax.tree.map(put, st)
+            out[key] = st
+        return out
+
     def _update_metrics(self, metric_state, aux):
         return self.model_def.update_metric_state(metric_state, aux)
 
@@ -309,6 +361,7 @@ class Trainer:
             and hasattr(model_def, "clip_grads")
         )
         base_key = jax.random.PRNGKey(int(self.config.runner("seed", 2023)))
+        mp_tables = self._mp_table_paths()
 
         def train_step(state: TrainState, batch, metric_state):
             from paddlerec_tpu.data.wire import decode_batch
@@ -338,6 +391,7 @@ class Trainer:
                 new_params, new_extra = model_def.apply_sparse_updates(
                     state.params, state.extra, grads, batch,
                     rng=jax.random.fold_in(base_key, state.step),
+                    mp_tables=mp_tables,
                 )
                 state = state.replace(params=new_params, extra=new_extra)
             if use_auc:
