@@ -101,8 +101,25 @@ class SlotEmbedding(nn.Module):
         from paddlerec_tpu.parallel import context
 
         if self.distributed is not None:
-            return self.distributed and context.get_mesh() is not None
-        return self.packed and context.model_parallel_size() > 1
+            want = self.distributed and context.get_mesh() is not None
+        else:
+            want = self.packed and context.model_parallel_size() > 1
+        if not want:
+            return False
+        # Align with parallel.sharding.param_spec's MIN_ROWS_TO_SHARD:
+        # tables too small for param_spec to row-shard must NOT use the
+        # engine either — the engine pads the row count to an mp
+        # multiple, and a padded-but-replicated table would then route
+        # to the non-mp sparse path whose infer_pack expects the exact
+        # ceil(vocab/pack) geometry (trace-time ValueError).  Below the
+        # threshold the local packed lookup over the replicated table is
+        # both correct and faster (no all_to_all for tiny tables).
+        from paddlerec_tpu.ops.packed_embedding import sub_width
+        from paddlerec_tpu.parallel.sharding import MIN_ROWS_TO_SHARD
+
+        pack = 128 // sub_width(self.embedding_dim)
+        rows = -(-self.vocab_size // pack)
+        return rows >= MIN_ROWS_TO_SHARD
 
     @staticmethod
     def _check_delta_capacity(n: int, cap: int) -> None:

@@ -197,11 +197,17 @@ def _cast_to_table(t_n: jnp.ndarray, table: jnp.ndarray, rng):
     return t_n.astype(table.dtype)
 
 
-def _compact_grad(table, delta_grad, uniq, slot):
+def _grad_sum(delta_grad, uniq, slot):
+    """Per-unique-row f32 gradient sum (the only place the per-position
+    delta grads are merged — compact AND sharded kernels both use it)."""
     n = slot.shape[0]
-    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
+    return jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
         delta_grad[:n].astype(jnp.float32)
     )
+
+
+def _compact_grad(table, delta_grad, uniq, slot):
+    g_uniq = _grad_sum(delta_grad, uniq, slot)
     safe = jnp.minimum(uniq, table.shape[0] - 1)
     return g_uniq, safe
 
@@ -285,6 +291,33 @@ def _sharded_row_update(mesh, kernel, arrays, row_specs):
     )(*arrays)
 
 
+def _sharded_setup(mesh, table, delta_grad, uniq, slot, rng):
+    """Shared preamble of the sparse × mp kernels: local row count,
+    merged per-unique grads, and the rng plumbed as concrete bits (a
+    None can't cross the shard_map boundary)."""
+    from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+    rows_local = table.shape[0] // mesh.shape[MP_AXIS]
+    g_uniq = _grad_sum(delta_grad, uniq, slot)
+    use_rng = rng is not None
+    rngbits = rng if use_rng else jnp.zeros((2,), jnp.uint32)
+    return rows_local, g_uniq, use_rng, rngbits
+
+
+def _owned_rows(uq, rows_local):
+    """Inside a sharded kernel: map global physical rows to this shard's
+    local rows.  ``loc`` routes non-owned/sentinel entries out of range
+    (scatter mode='drop' discards them); ``safe`` clamps them to row 0
+    for the gathers (their results are never written back)."""
+    from paddlerec_tpu.parallel.mesh import MP_AXIS
+
+    lo = jax.lax.axis_index(MP_AXIS) * rows_local
+    owned = (uq >= lo) & (uq < lo + rows_local)
+    loc = jnp.where(owned, uq - lo, rows_local)
+    safe = jnp.where(owned, uq - lo, 0)
+    return loc, safe
+
+
 def apply_sparse_adagrad_sharded(
     mesh,
     table: jnp.ndarray,
@@ -317,21 +350,12 @@ def apply_sparse_adagrad_sharded(
 
     from paddlerec_tpu.parallel.mesh import MP_AXIS
 
-    mp = mesh.shape[MP_AXIS]
-    rows_local = table.shape[0] // mp
-    n = slot.shape[0]
-    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
-        delta_grad[:n].astype(jnp.float32)
+    rows_local, g_uniq, use_rng, rngbits = _sharded_setup(
+        mesh, table, delta_grad, uniq, slot, rng
     )
-    use_rng = rng is not None
-    rngbits = rng if use_rng else jnp.zeros((2,), jnp.uint32)
 
     def kernel(tl, accl, gu, uq, rb):
-        s = jax.lax.axis_index(MP_AXIS)
-        lo = s * rows_local
-        owned = (uq >= lo) & (uq < lo + rows_local)
-        loc = jnp.where(owned, uq - lo, rows_local)  # out of range → drop
-        safe = jnp.where(owned, uq - lo, 0)
+        loc, safe = _owned_rows(uq, rows_local)
         a_r = accl[safe] + (gu * gu).mean(-1)
         t_n = (tl[safe].astype(jnp.float32)
                - lr * gu * jax.lax.rsqrt(a_r + eps)[:, None])
@@ -368,21 +392,12 @@ def apply_sparse_adam_sharded(
 
     from paddlerec_tpu.parallel.mesh import MP_AXIS
 
-    mp = mesh.shape[MP_AXIS]
-    rows_local = table.shape[0] // mp
-    n = slot.shape[0]
-    g_uniq = jnp.zeros((uniq.shape[0], 128), jnp.float32).at[slot].add(
-        delta_grad[:n].astype(jnp.float32)
+    rows_local, g_uniq, use_rng, rngbits = _sharded_setup(
+        mesh, table, delta_grad, uniq, slot, rng
     )
-    use_rng = rng is not None
-    rngbits = rng if use_rng else jnp.zeros((2,), jnp.uint32)
 
     def kernel(tl, ml, vl, cl, gu, uq, rb):
-        s = jax.lax.axis_index(MP_AXIS)
-        lo = s * rows_local
-        owned = (uq >= lo) & (uq < lo + rows_local)
-        loc = jnp.where(owned, uq - lo, rows_local)
-        safe = jnp.where(owned, uq - lo, 0)
+        loc, safe = _owned_rows(uq, rows_local)
         m_n = b1 * ml[safe] + (1.0 - b1) * gu
         v_n = b2 * vl[safe] + (1.0 - b2) * gu * gu
         c_r = cl[safe] + 1

@@ -145,7 +145,13 @@ def _make_exchange_fns(mesh: Mesh, mp: int, rows_local: int, capacity: int,
             jnp.arange(n, dtype=jnp.int32)
         )
         vecs = jnp.take(got_sorted, inv, axis=0, mode="clip")
-        return vecs, overflow.reshape(1, 1)
+        # per-position fetched flag (False for overflow/invalid): the
+        # external (delta-tap) path multiplies it in so dropped positions
+        # contribute neither a forward vector nor a delta gradient —
+        # bwd_kernel's slot<0 drop is the non-external analog
+        ok_sorted = jnp.take((slot >= 0), rank, axis=0, mode="clip")
+        fetched = jnp.take(ok_sorted, inv, axis=0, mode="clip")
+        return vecs, overflow.reshape(1, 1), fetched
 
     def bwd_kernel(g, phys):
         # g: (n_dev, lanes) cotangents in original order → segment-sum onto
@@ -175,7 +181,7 @@ def _make_exchange_fns(mesh: Mesh, mp: int, rows_local: int, capacity: int,
         fwd_kernel,
         mesh=mesh,
         in_specs=(P(MP_AXIS, None), P(both)),
-        out_specs=(P(both), P(both, None)),
+        out_specs=(P(both), P(both, None), P(both)),
         check_vma=False,
     )
     bwd = jax.shard_map(
@@ -331,7 +337,7 @@ class ShardedEmbedding:
 
         def _fwd_impl(table, ids):
             phys, sub = _flat_phys_sub(ids)
-            rows, overflow = fwd_x(table, phys)  # (N', 128), (devices, 1)
+            rows, overflow, _ = fwd_x(table, phys)  # (N',128),(devices,1)
             rows = rows[:n_global].reshape(-1, pack, w)
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (n_global, pack), 1)
@@ -375,10 +381,20 @@ class ShardedEmbedding:
 
         def lookup_ext(table, delta, ids):
             phys, sub = _flat_phys_sub(ids)
-            rows, overflow = fwd_x(jax.lax.stop_gradient(table), phys)
+            rows, overflow, fetched = fwd_x(
+                jax.lax.stop_gradient(table), phys
+            )
             # delta stays float32 (bf16 per-position grads truncate
-            # before the row sum); math upcasts to the delta dtype
-            rows = rows[:n_global].astype(delta.dtype) + delta[:n_global]
+            # before the row sum); math upcasts to the delta dtype.
+            # Bucket-overflow positions (fetched=False) are zeroed WITH
+            # their delta term, so autodiff delivers zero delta grads for
+            # rows whose values never entered the forward pass — the
+            # row-wise optimizer must not step rows against a zero read
+            # (the non-external bwd_kernel drops these grads the same way)
+            gate = fetched[:n_global].astype(delta.dtype)[:, None]
+            rows = (
+                rows[:n_global].astype(delta.dtype) + delta[:n_global]
+            ) * gate
             rows = rows.reshape(-1, pack, w)
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (n_global, pack), 1)

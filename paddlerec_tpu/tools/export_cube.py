@@ -41,7 +41,12 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
             return
         # exact path-component match: a substring test would also pick up
         # the all-zero 'embedding_delta' grad-tap param under sparse_update
-        # and export it as a spurious zero-valued cube table
+        # and export it as a spurious zero-valued cube table.  The LEAF
+        # name must be checked too — the tap lives under a module that is
+        # itself named 'embedding', so a parent-component match alone
+        # still lets it through.
+        if str(path[-1]) == "embedding_delta":
+            return
         if not any(str(p) == EMBEDDING_PARAM_NAME for p in path):
             return
         arr = np.asarray(node)
@@ -52,9 +57,13 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
             # (models fuse extra lanes, e.g. deepfm's dim+1 w1 lane, so the
             # window may be wider than sparse_feature_dim).  mp-sharded
             # tables carry a few padding rows (rounded up to an mp
-            # multiple); consecutive widths differ by ~2x in row count,
-            # so base <= rows < 2*base still identifies w uniquely.
-            for w in (8, 16, 32, 64, 128):
+            # multiple), so rows may exceed the exact base slightly.
+            # Widths are tried DESCENDING: the true width has the largest
+            # base that still fits under the row count (padding < base/2),
+            # while an ascending scan would match the next-narrower width
+            # whenever rows > base (its window [base_narrow, 2*base_narrow)
+            # contains every wider table's row count).
+            for w in (128, 64, 32, 16, 8):
                 pack = 128 // w
                 base = (vocab_size + pack - 1) // pack
                 if base <= arr.shape[0] < 2 * base:

@@ -158,3 +158,56 @@ def test_engine_external_lookup_grads(low_shard_threshold):
     # routing confines it to that id's pack slice
     gn = np.asarray(jnp.abs(g).sum(axis=1))
     assert (gn[: 16 * 13] > 0).all()
+
+
+def test_sparse_mp_small_table_falls_back_to_local(tmp_path):
+    """A table below MIN_ROWS_TO_SHARD stays replicated (param_spec
+    refuses to row-shard it), so the lookup must NOT use the mp engine:
+    an engine-padded-but-replicated table would route to the non-mp
+    sparse path whose infer_pack expects exact ceil(vocab/pack) rows
+    (regression: trace-time ValueError).  Below the threshold the local
+    packed path over the replicated table is the correct composition."""
+    write_criteo_sample(str(tmp_path / "train"), num_lines=128, num_files=2,
+                        vocab=10000)
+    # default MIN_ROWS_TO_SHARD=8192 > ceil(10000/8)=1250 rows
+    tr = Trainer(_sparse_cfg(tmp_path), mesh=create_mesh(2, 4))
+    m = tr.train()
+    assert np.isfinite(m["auc"])
+    assert tr._mp_table_paths() == frozenset()
+    tbl = tr.state.params["embedding"]["embedding"]
+    assert tbl.shape[0] == 1250  # exact packed rows, no mp padding
+
+
+def test_engine_external_overflow_drops_grads():
+    """Bucket-overflow positions must contribute neither a forward
+    vector nor a delta gradient (the non-external bwd_kernel drops the
+    same positions) — the row-wise optimizer must never step a table row
+    against a zero read."""
+    from paddlerec_tpu.parallel.embedding import ShardedEmbedding
+
+    mesh = create_mesh(2, 4)
+    eng = ShardedEmbedding(mesh, vocab_size=4096, embedding_dim=9)
+    table = eng.init(jax.random.PRNGKey(0))
+    # all ids land on mp shard 0 (phys rows [0, 128)) with ~104 distinct
+    # rows per device slice, far past the per-shard bucket capacity
+    n = 64 * 13
+    ids = jnp.asarray((np.arange(n) * 8 % 1024).reshape(64, 13))
+    delta = jnp.full((n, 128), 0.5, jnp.float32)
+
+    vecs_ref = eng.lookup(table, ids)  # dense path zeroes dropped rows
+    vecs_ext, overflow = eng.lookup_external(table, delta, ids)
+    assert int(jnp.sum(overflow)) > 0
+    dropped = np.asarray(jnp.abs(vecs_ref).sum(-1) == 0).reshape(-1)
+    assert dropped.any() and not dropped.all()
+    # forward: dropped positions are zero even with a nonzero delta
+    ext_norm = np.asarray(jnp.abs(vecs_ext).sum(-1)).reshape(-1)
+    assert (ext_norm[dropped] == 0).all()
+    assert (ext_norm[~dropped] > 0).all()
+
+    def loss(d):
+        v, _ = eng.lookup_external(table, d, ids)
+        return jnp.sum(v * v)
+
+    g = np.asarray(jnp.abs(jax.grad(loss)(delta)).sum(axis=1))
+    assert (g[:n][dropped] == 0).all()
+    assert (g[:n][~dropped] > 0).all()
