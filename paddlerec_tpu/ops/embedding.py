@@ -37,6 +37,10 @@ EMBEDDING_PARAM_NAME = "embedding"
 # per-module attribute plumbing.  Explicit module attrs always win.
 _CTX: dict = {}
 
+# (vocab, dim) pairs whose explicit distributed=True was downgraded by the
+# MIN_ROWS_TO_SHARD floor — warn once per geometry, not per trace.
+_DOWNGRADE_WARNED: set = set()
+
 
 @contextlib.contextmanager
 def slot_embedding_context(**kw):
@@ -64,8 +68,12 @@ class SlotEmbedding(nn.Module):
       packed: use the packed 128-lane table layout (fast path).
       distributed: None = auto (row-shard the table over the mesh's mp axis
         via the all_to_all engine whenever the active parallel context has
-        mp > 1); True/False forces it.  The reference's analog is the
-        `distributed_embedding`/`sparse_embedding` switch
+        mp > 1); False forces local.  True requests sharding but is still
+        subject to the MIN_ROWS_TO_SHARD floor — tables whose packed row
+        count is below it fall back to the local replicated path (with a
+        one-time warning), and the fallback changes the param geometry, so
+        checkpoints do not transfer across the threshold.  The reference's
+        analog is the `distributed_embedding`/`sparse_embedding` switch
         (models/rank/dnn/net.py:70-84).
     """
 
@@ -119,7 +127,23 @@ class SlotEmbedding(nn.Module):
 
         pack = 128 // sub_width(self.embedding_dim)
         rows = -(-self.vocab_size // pack)
-        return rows >= MIN_ROWS_TO_SHARD
+        if rows < MIN_ROWS_TO_SHARD:
+            if self.distributed is True:
+                key = (self.vocab_size, self.embedding_dim)
+                if key not in _DOWNGRADE_WARNED:
+                    _DOWNGRADE_WARNED.add(key)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "SlotEmbedding(distributed=True, vocab=%d, dim=%d):"
+                        " %d packed rows < MIN_ROWS_TO_SHARD=%d — falling"
+                        " back to the local replicated table (different"
+                        " param geometry than the sharded engine).",
+                        self.vocab_size, self.embedding_dim, rows,
+                        MIN_ROWS_TO_SHARD,
+                    )
+            return False
+        return True
 
     @staticmethod
     def _check_delta_capacity(n: int, cap: int) -> None:

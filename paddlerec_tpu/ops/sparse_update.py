@@ -206,6 +206,16 @@ def _grad_sum(delta_grad, uniq, slot):
     )
 
 
+def _live_rows(g_uniq, idx, drop_index):
+    """Route rows whose summed grad is exactly zero to ``drop_index`` so
+    scatter mode='drop' skips them.  Used by the lazy-Adam kernels: a
+    zero-grad Adam step still moves the row (momentum decay + bias
+    correction), which is wrong for rows that were only *touched*
+    (sentinel padding, host-table overflow rows with zeroed grads)."""
+    live = jnp.any(g_uniq != 0.0, axis=-1)
+    return jnp.where(live, idx, drop_index)
+
+
 def _compact_grad(table, delta_grad, uniq, slot):
     g_uniq = _grad_sum(delta_grad, uniq, slot)
     safe = jnp.minimum(uniq, table.shape[0] - 1)
@@ -249,8 +259,17 @@ def apply_sparse_adam_compact(
     eps: float = 1e-8,
     rng=None,
 ) -> Tuple[jnp.ndarray, RowwiseAdamState]:
-    """Row-wise Adam with HOST-deduped rows (see adagrad variant)."""
+    """Row-wise Adam with HOST-deduped rows (see adagrad variant).
+
+    Rows whose summed grad is exactly zero (e.g. host-table overflow
+    rows whose grads the fetch path zeroed) are routed to the drop
+    index: a zero-grad Adam step is NOT a no-op (m decays, count
+    increments, the table moves by lr*m_hat from stale momentum), and
+    lazy Adam must only step rows that actually received gradient —
+    matching the reference accessor's touched-row semantics
+    (tools/utils/static_ps/config_fleet.py adam per-feature update)."""
     g_uniq, safe = _compact_grad(table, delta_grad, uniq, slot)
+    uniq = _live_rows(g_uniq, uniq, SENTINEL)
     m_n = b1 * state.m[safe] + (1.0 - b1) * g_uniq
     v_n = b2 * state.v[safe] + (1.0 - b2) * g_uniq * g_uniq
     c_r = state.count[safe] + 1
@@ -398,6 +417,9 @@ def apply_sparse_adam_sharded(
 
     def kernel(tl, ml, vl, cl, gu, uq, rb):
         loc, safe = _owned_rows(uq, rows_local)
+        # lazy Adam: zero-summed-grad rows (overflow rows whose grads the
+        # fetch path zeroed) must not take a momentum-only step
+        loc = _live_rows(gu, loc, rows_local)
         m_n = b1 * ml[safe] + (1.0 - b1) * gu
         v_n = b2 * vl[safe] + (1.0 - b2) * gu * gu
         c_r = cl[safe] + 1
@@ -464,6 +486,8 @@ def apply_sparse_update(
     m_hat = m_n / (1.0 - b1**c_f)
     v_hat = v_n / (1.0 - b2**c_f)
     t_n = t_r - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    # lazy Adam: positions whose summed grad is exactly zero take no step
+    phys = _live_rows(g_r, phys, table.shape[0])
     return (
         table.at[phys].set(_cast_to_table(t_n, table, rng), mode="drop"),
         RowwiseAdamState(

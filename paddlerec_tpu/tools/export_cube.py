@@ -45,7 +45,7 @@ def collect_embedding_tables(params, vocab_size: int, embedding_dim: int):
         # name must be checked too — the tap lives under a module that is
         # itself named 'embedding', so a parent-component match alone
         # still lets it through.
-        if str(path[-1]) == "embedding_delta":
+        if path and str(path[-1]) == "embedding_delta":
             return
         if not any(str(p) == EMBEDDING_PARAM_NAME for p in path):
             return
