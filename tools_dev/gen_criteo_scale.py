@@ -58,7 +58,13 @@ def main():
     # through the shared latent space (see synth_model.score) — the
     # dense low-rank interaction structure real Criteo exhibits, which
     # every interaction model (FM/DeepFM/DCN/DNN) can represent.
-    ap.add_argument("--pair_mode", choices=["six", "fm"], default="six")
+    # v5 = the v3 layout with pair_mode "cross": per-pair bilinear maps
+    # (the one-cross-layer CrossNetV2 family) — the mirror of v4, used to
+    # certify the cross-form model class (synth_model.pair_matrix).
+    # Same calibration profile as fm: sigma_M = 1/sqrt(K) makes both the
+    # interaction variance and the latent observation precision match.
+    ap.add_argument("--pair_mode", choices=["six", "fm", "cross"],
+                    default="six")
     # calibrated profiles (tools_dev/calibrate_gen_v3.py).  Defaults
     # resolve PER pair_mode so the documented corpora reproduce from the
     # bare command — the round-3 lesson: the v4 table's parameters lived
@@ -76,7 +82,7 @@ def main():
     cal = ({"scale_w": 0.8, "scale_lat": 0.7,
             "kappa_w": 3 / (0.2 * 0.25 ** 2),
             "kappa_lat": 3 / (0.2 * 0.35 ** 4)}
-           if args.pair_mode == "fm" else
+           if args.pair_mode in ("fm", "cross") else
            {"scale_w": 2.5, "scale_lat": 2.5,
             "kappa_w": 696.0, "kappa_lat": 2899.0})
     for k, v in cal.items():
@@ -178,12 +184,13 @@ def gen_v3(args):
     meta = {
         "rows": args.rows, "test_rows": args.test_rows, "vocab": V,
         "seed": args.seed, "bias": -1.1,
-        "generator": "v4" if args.pair_mode == "fm" else "v3",
+        "generator": {"fm": "v4", "cross": "v5"}.get(args.pair_mode, "v3"),
         "pair_mode": args.pair_mode,
         "freq_kappa_w": args.kappa_w, "freq_kappa_lat": args.kappa_lat,
         "sigma_scale_w": args.scale_w, "sigma_scale_lat": args.scale_lat,
     }
     w, lat, beta, bias = sm.planted_effects(meta)
+    M = sm.pair_matrix(meta) if args.pair_mode == "cross" else None
     os.makedirs(f"{args.out}/train", exist_ok=True)
     os.makedirs(f"{args.out}/test", exist_ok=True)
 
@@ -194,7 +201,8 @@ def gen_v3(args):
             n = min(args.chunk, n_rows - done)
             r = np.random.RandomState(seed0 + part)
             fs, dense = sm.draw_rows(r, n, V)
-            s = sm.score(fs, dense, w, lat, beta, bias, args.pair_mode)
+            s = sm.score(fs, dense, w, lat, beta, bias, args.pair_mode,
+                         M=M)
             p = 1.0 / (1.0 + np.exp(-s))
             labels = (r.rand(n) < p).astype(np.float32)
             write_slotbin(

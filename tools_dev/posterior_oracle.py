@@ -83,6 +83,7 @@ def main_v3(data: str, meta: dict):
 
     w, lat, beta, bias = sm.planted_effects(meta)
     pair_mode = meta.get("pair_mode", "six")
+    M = sm.pair_matrix(meta) if pair_mode == "cross" else None
     n_fs = len(w)
     counts = np.zeros(n_fs, np.int64)
     for p in sorted(glob.glob(f"{data}/train/*.bin")):
@@ -97,7 +98,7 @@ def main_v3(data: str, meta: dict):
         f = SlotBinFile(p)
         fs = np.asarray(f.sparse)[:, :, 0]
         s_ = sm.score(fs, np.asarray(f.dense), w, lat, beta, bias,
-                      pair_mode)
+                      pair_mode, M=M)
         pr = 1 / (1 + np.exp(-s_))
         info_num += float((pr * (1 - pr)).sum())
         info_den += len(pr)
@@ -106,7 +107,9 @@ def main_v3(data: str, meta: dict):
 
     w_mean, lat_mean, w_post, lat_post = sm.posterior_effects(
         w, lat, counts, info,
-        lat_obs_mult=(sm.S - 1.0) if pair_mode == "fm" else 1.0,
+        # fm and cross have identical per-occurrence latent precision
+        # (see synth_model.pair_matrix): S-1 partners per occurrence
+        lat_obs_mult=(sm.S - 1.0) if pair_mode in ("fm", "cross") else 1.0,
     )
     buckets = 1 << 12
     scorers = {
@@ -122,7 +125,8 @@ def main_v3(data: str, meta: dict):
         dense = np.asarray(f.dense)
         y = np.asarray(f.labels)
         for k, (wk, lk) in scorers.items():
-            s_ = sm.score(fs, dense, wk, lk, beta, bias, pair_mode)
+            s_ = sm.score(fs, dense, wk, lk, beta, bias, pair_mode,
+                          M=M)
             pr = 1 / (1 + np.exp(-s_))
             b_ = np.clip((pr * buckets).astype(np.int64), 0, buckets - 1)
             pos, neg = acc[k]
@@ -136,7 +140,7 @@ def main_v3(data: str, meta: dict):
 def main():
     data = sys.argv[1] if len(sys.argv) > 1 else "/root/criteo_scale"
     meta = json.load(open(f"{data}/meta.json"))
-    if meta.get("generator") in ("v3", "v4"):
+    if meta.get("generator") in ("v3", "v4", "v5"):
         return main_v3(data, meta)
     V = int(meta["vocab"])
     w, lat, beta, bias = planted_truth(meta)

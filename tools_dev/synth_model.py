@@ -65,6 +65,26 @@ def planted_effects(meta: dict):
     return w, lat, beta, bias
 
 
+def pair_matrix(meta: dict):
+    """The v5 ("cross" pair_mode) per-pair bilinear maps M (S, S, K, K),
+    upper triangle only (a < b), entries N(0, 1/K).
+
+    sigma_M = 1/sqrt(K) makes both the per-pair interaction variance
+    (Var[lat_a^T M lat_b] = K^2 sigma_M^2 sigma^4 = K sigma^4) and the
+    per-occurrence latent observation precision (Var of the regressor
+    sum_b M_ab lat_b per coordinate = (S-1) sigma^2) EQUAL to the v4 fm
+    mode's — so the committed fm calibration profile and the oracle's
+    lat_obs_mult = S-1 carry over unchanged.
+
+    Drawn from seed+1 so w/lat/beta are bit-identical to the fm corpus
+    at the same seed."""
+    K = 4
+    rng = np.random.RandomState(int(meta.get("seed", 2023)) + 1)
+    m = (rng.randn(S, S, K, K) / np.sqrt(K)).astype(np.float32)
+    iu = np.triu(np.ones((S, S), bool), 1)
+    return m * iu[:, :, None, None]
+
+
 def draw_rows(rng: np.random.RandomState, n: int, vocab: int):
     """(feasigns (n,S) int, dense (n,D) f32) under the v3 layout."""
     v26 = slot_vocab(vocab)
@@ -76,7 +96,7 @@ def draw_rows(rng: np.random.RandomState, n: int, vocab: int):
 
 
 def score(fs: np.ndarray, dense: np.ndarray, w, lat, beta, bias,
-          pair_mode: str = "six"):
+          pair_mode: str = "six", M=None):
     """pair_mode "six" (v3): six fixed slot pairs interact, others are
     additive-only.  pair_mode "fm" (v4): ALL slot pairs interact through
     the shared latent space — sum_{a<b} <lat_a, lat_b>, i.e. exactly the
@@ -88,12 +108,30 @@ def score(fs: np.ndarray, dense: np.ndarray, w, lat, beta, bias,
     ceiling.  Real Criteo behaves like "fm": FM/DeepFM/DCN all land
     within ~0.02 of each other (models/rank/readme.md), evidence that
     its interactions are dense and low-rank — the form every
-    interaction model can represent."""
+    interaction model can represent.
+
+    pair_mode "cross" (v5): per-pair DIFFERENT bilinear maps,
+    sum_{a<b} lat_a^T M_ab lat_b (M from pair_matrix).  This is the
+    one-cross-layer CrossNetV2 family (x0 (+) x0 . W x0 over the concat
+    of slot latents, models/rank/dcn_v2/net.py:214-226 in the
+    reference): representable by slot-position-aware quadratic models
+    (dcn_v2's cross weights are slot-pair specific) but NOT by FM's
+    shared dot product, which forces M_ab = I — the mirror image of the
+    fm corpus, built to measure the architecture-mismatch cost in the
+    other direction."""
     s = w[fs].sum(1)
     if pair_mode == "fm":
         g = lat[fs]  # (n, S, 4)
         tot = g.sum(axis=1)
         s += 0.5 * ((tot * tot).sum(axis=1) - (g * g).sum(axis=(1, 2)))
+    elif pair_mode == "cross":
+        g = lat[fs]  # (n, S, K)
+        k = lat.shape[1]
+        g2 = g.reshape(len(g), S * k)
+        # M is upper-triangular in (a, b), so the quadratic form g2 W g2
+        # counts each pair exactly once
+        m2 = M.transpose(0, 2, 1, 3).reshape(S * k, S * k)
+        s += ((g2 @ m2) * g2).sum(1)
     else:
         for a, b in PAIR_SLOTS:
             s += (lat[fs[:, a]] * lat[fs[:, b]]).sum(1)

@@ -88,6 +88,45 @@ class SynthFMNet(nn.Module):
         return first + second + dense @ beta + bias
 
 
+class SynthCrossNet(nn.Module):
+    """Matched form for the v5 ("cross" pair_mode) corpus:
+    score = sum_s w[fs_s] + sum_{a<b} lat[fs_a]^T M_ab lat[fs_b]
+          + dense @ beta + bias — exactly synth_model.score(pair_mode=
+    "cross"), with the per-pair bilinear maps M learned jointly.  M is
+    population-level (325 pairs x 16 = 5200 params observed by every
+    row), so the estimation burden stays on the per-feasign table, same
+    as the fm probe."""
+
+    vocab_size: int
+    init_stddev: float = 0.05
+    m_init_stddev: float = 0.5  # the generator prior's sigma_M = 1/sqrt(K)
+    table_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray):
+        s = sparse_ids.shape[1]
+        k = LAT_DIM
+        fused = SlotEmbedding(
+            self.vocab_size, 1 + LAT_DIM, name="embedding",
+            init_stddev=self.init_stddev, param_dtype=self.table_dtype,
+        )(sparse_ids)  # (B, S, 1+LAT): lane 0 = w, lanes 1: = latent
+        first = fused[..., 0].sum(axis=1)
+        lat = fused[..., 1:].astype(jnp.float32)  # (B, S, K)
+        m = self.param(
+            "pair_m", nn.initializers.normal(self.m_init_stddev),
+            (s, s, k, k),
+        )
+        m = m * jnp.triu(jnp.ones((s, s), bool), 1)[:, :, None, None]
+        g2 = lat.reshape(lat.shape[0], s * k)
+        m2 = m.transpose(0, 2, 1, 3).reshape(s * k, s * k)
+        second = ((g2 @ m2) * g2).sum(axis=-1)
+        beta = self.param(
+            "dense_w", nn.initializers.normal(1e-2), (dense.shape[-1],)
+        )
+        bias = self.param("bias", nn.initializers.zeros, ())
+        return first + second + dense @ beta + bias
+
+
 @register_model("dev.synth_pair")
 class ModelDef(CTRModelDef):
     def __init__(self, config):
@@ -108,5 +147,18 @@ class FMModelDef(CTRModelDef):
         self.module = SynthFMNet(
             self.vocab_size,
             init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
+            table_dtype=self.table_dtype(),
+        )
+
+
+@register_model("dev.synth_cross")
+class CrossModelDef(CTRModelDef):
+    def __init__(self, config):
+        super().__init__(config)
+        self.sparse_embed_logical_dim = 1 + LAT_DIM
+        self.module = SynthCrossNet(
+            self.vocab_size,
+            init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
+            m_init_stddev=float(config.hyper("probe_m_init_stddev", 0.5)),
             table_dtype=self.table_dtype(),
         )
