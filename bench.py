@@ -195,7 +195,8 @@ def bench_disk(state, metric_state, super_step):
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return nsteps * BATCH / elapsed, link_mbps
+    wire_b = link_bytes / (SUPER_K * BATCH)
+    return nsteps * BATCH / elapsed, link_mbps, wire_b
 
 
 def main():
@@ -203,7 +204,14 @@ def main():
     ips = bench_synthetic(state, metric_state, step)
     # fresh state for the disk-fed leg (the synthetic leg donated its)
     state, metric_state, _, _ = build(model_rng=1)
-    disk_ips, link_mbps = bench_disk(state, metric_state, super_step)
+    disk_ips, link_mbps, wire_b = bench_disk(state, metric_state, super_step)
+    # Link-normalized feed efficiency (VERDICT r3 item 7): rows/s the
+    # pipeline achieves as a fraction of what the measured link can
+    # carry.  This separates code regressions from tunnel weather — the
+    # r2->r3 disk_fed swing (480k -> 257k) was entirely the link
+    # (35.1 -> 24.3 MB/s) but the artifact could not prove it.
+    link_rows = link_mbps * 1e6 / wire_b
+    feed_eff = disk_ips / max(link_rows, 1e-9)
     record = {
         "metric": "deepfm_criteo_train_ips",
         "value": round(ips, 1),
@@ -211,8 +219,21 @@ def main():
         "vs_baseline": round(ips / REFERENCE_IPS, 2),
         "disk_fed_ips": round(disk_ips, 1),
         "feed_link_MBps": round(link_mbps, 1),
-        "wire_B_per_example": 106,
+        "wire_B_per_example": round(wire_b, 1),
+        "feed_efficiency": round(feed_eff, 3),
     }
+    # Gate: when the link is the binding constraint (its row capacity is
+    # below the device rate), the staged pipeline must run at >=80% of
+    # the link wall.  On a fast link the bottleneck legitimately moves
+    # to compute and direct_host_check below takes over instead.
+    if link_rows < 0.8 * ips and feed_eff < 0.8:
+        record["feed_efficiency_check"] = "FAIL"
+        record["feed_efficiency_detail"] = (
+            f"disk-fed {disk_ips:.0f} rows/s is {feed_eff:.1%} of the "
+            f"link capacity {link_rows:.0f} rows/s "
+            f"({link_mbps:.1f} MB/s / {wire_b:.0f} B) — feed pipeline "
+            "regression independent of link weather"
+        )
     # Direct-attached-host verification hook (VERDICT r2 item 10): the
     # "PCIe hosts feed the full device rate" claim is an extrapolation
     # only while this runs over the ~50 MB/s tunnel.  The moment the
@@ -231,6 +252,8 @@ def main():
     print(json.dumps(record))
     if record.get("direct_host_check") == "FAIL":
         raise SystemExit(3)
+    if record.get("feed_efficiency_check") == "FAIL":
+        raise SystemExit(4)
 
 
 if __name__ == "__main__":
