@@ -95,13 +95,21 @@ class HostTableTrainer:
 
         self.trainer = Trainer(inner_cfg)
         self.phys_rows = (self.vocab + self.pack - 1) // self.pack
-        # host tier: packed physical rows + per-row optimizer state
+        # host tier: packed physical rows + per-row optimizer state.
+        # host_table_ram_rows caps RAM residency and spills cold rows to
+        # an mmap file — the SSD_EMBEDDING tier (config_fleet.py:122-125)
+        ram_rows = config.runner("host_table_ram_rows")
+        spill_dir = config.runner("host_table_spill_dir")
         self.table = HostTieredTable(
             self.phys_rows, 128,
             seed=int(config.runner("seed", 2023)),
             init_scale=1e-2,
             show_decay=float(config.runner("show_decay", 0.98)),
+            ram_rows=int(ram_rows) if ram_rows is not None else None,
+            spill_path=(os.path.join(str(spill_dir), "table_spill.npy")
+                        if spill_dir else None),
         )
+        self.prefetch_on = bool(config.runner("host_table_prefetch", True))
         self.host_acc = np.zeros(self.phys_rows, np.float32)
         self._tap_paths = None
 
@@ -212,22 +220,57 @@ class HostTableTrainer:
 
             sb_sharding = NamedSharding(t.mesh, P(None, DP_AXIS))
         last_metrics: Dict[str, float] = {}
+
+        def _prepare(pass_files):
+            """Parse one pass's files + its unique physical rows (the
+            host half of the pass build).  Runs on a background thread
+            for pass i+1 while pass i trains — the reference's dataset
+            preload (static_ps_online_trainer.py:370-371) plus the SSD
+            tier's pass-level row prefetch."""
+            batches = list(self._pass_dataset(pass_files, batch_size))
+            if not batches:
+                return None
+            phys = np.unique(np.concatenate([
+                ((np.asarray(b["sparse"]).reshape(-1) % self.vocab)
+                 // self.pack)
+                for b in batches
+            ]))
+            return batches, phys
+
+        import threading
+
         for epoch in range(epochs):
             metric_state = t._init_metric_state()
             epoch_begin = time.time()
             total = 0
             loss = None
+            prep_wait_s = 0.0
+            next_slot: Dict[int, object] = {}
+            bg: Optional[threading.Thread] = None
+
+            def _spawn(i):
+                def work():
+                    prep = _prepare(passes[i])
+                    if prep is not None and self.prefetch_on:
+                        self.table.prefetch(prep[1])
+                    next_slot[i] = prep
+
+                th = threading.Thread(target=work, daemon=True)
+                th.start()
+                return th
+
+            prep = _prepare(passes[0]) if passes else None
             for pass_id, pass_files in enumerate(passes):
-                # host parse once; a pass must fit host RAM (the
-                # reference's InMemoryDataset load_into_memory contract)
-                batches = list(self._pass_dataset(pass_files, batch_size))
-                if not batches:
+                if pass_id > 0:
+                    t_wait = time.time()
+                    bg.join()
+                    prep_wait_s += time.time() - t_wait
+                    prep = next_slot.pop(pass_id)
+                if pass_id + 1 < len(passes):
+                    bg = _spawn(pass_id + 1)
+                if prep is None:
                     continue
-                phys = np.unique(np.concatenate([
-                    ((np.asarray(b["sparse"]).reshape(-1) % self.vocab)
-                     // self.pack)
-                    for b in batches
-                ]))
+                batches, phys = prep
                 if len(phys) > self.cap_rows:
                     raise ValueError(
                         f"pass {pass_id} touches {len(phys)} physical rows "
@@ -272,6 +315,9 @@ class HostTableTrainer:
                 logger.info(
                     f"epoch {epoch} pass {pass_id}: {len(phys)} rows cached, "
                     f"{self.table.rows_resident} resident host rows"
+                    + (f" ({self.table.rows_in_ram} RAM / "
+                       f"{self.table.rows_on_disk} disk)"
+                       if self.table.rows_on_disk else "")
                 )
             epoch_time = time.time() - epoch_begin
             last_metrics = (
@@ -280,11 +326,13 @@ class HostTableTrainer:
             if t.use_auc:
                 logger.info(
                     "epoch: {} done (host_table), {}, epoch time: {:.2f} s, "
-                    "ips: {:.2f} ins/s".format(
+                    "ips: {:.2f} ins/s, pass-prep wait: {:.2f} s".format(
                         epoch, t._bundle_str(last_metrics, "train"),
                         epoch_time, total / max(epoch_time, 1e-9),
+                        prep_wait_s,
                     )
                 )
+            last_metrics["pass_prep_wait_s"] = prep_wait_s
             # day-end lifecycle (show decay; optional eviction)
             self.table.end_day()
             thr = cfg.runner("host_table_shrink_threshold")
@@ -325,10 +373,13 @@ class HostTableTrainer:
             extra=jax.device_get(self.trainer.state.extra),
         )
         if jax.process_index() == 0:
+            # sparse (ids + values) form: works for both storage modes —
+            # a dense dump of a disk-tier vocab would defeat the tier
+            rows, values = self.table.snapshot_rows()
             np.savez_compressed(
                 os.path.join(path, "host_table.npz"),
-                table=self.table._table,
-                initialized=self.table._initialized,
+                rows=rows,
+                values=values,
                 shows=self.table._shows,
                 acc=self.host_acc,
             )
@@ -337,9 +388,14 @@ class HostTableTrainer:
 
     def load(self, root: str, tag) -> None:
         z = np.load(os.path.join(root, str(tag), "host_table.npz"))
-        self.table._table = z["table"]
-        self.table._initialized = z["initialized"]
-        self.table._shows = z["shows"]
+        if "table" in z:  # legacy dense dump (pre-disk-tier format)
+            init = z["initialized"]
+            rows = np.flatnonzero(init)
+            self.table.restore_rows(rows, z["table"][rows],
+                                    shows=z["shows"])
+        else:
+            self.table.restore_rows(z["rows"], z["values"],
+                                    shows=z["shows"])
         self.host_acc = z["acc"]
         if self.trainer.state is None:
             self.trainer.init_state()
