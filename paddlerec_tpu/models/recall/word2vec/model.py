@@ -108,12 +108,43 @@ class ModelDef(ModelDef):
             )
         return {"auc": (preds, labels, mask)}
 
+    def _neg_sampler(self, files):
+        """Frequency-weighted (unigram^0.75) negative sampler — the
+        reference's alias-distribution contract
+        (word2vec_reader.py:66-78,116).  Counts come from
+        runner.word_count_dict_path when it ships with the data (the
+        reference's preprocess emits it) or from one counting pass over
+        the corpus otherwise; hyper_parameters.neg_sampling: uniform
+        opts out."""
+        from paddlerec_tpu.core.config import resolve_path
+        from paddlerec_tpu.data.alias import (
+            AliasSampler, counts_from_corpus, counts_from_dict_file,
+        )
+
+        mode = str(self.config.hyper("neg_sampling", "frequency")).lower()
+        if mode == "uniform":
+            return None
+        dict_path = self.config.runner("word_count_dict_path")
+        if dict_path:
+            counts = counts_from_dict_file(
+                resolve_path(self.config, "runner.word_count_dict_path"),
+                self.vocab_size,
+            )
+        else:
+            counts = counts_from_corpus(files, self.vocab_size)
+        if counts.sum() <= 0:
+            return None
+        power = float(self.config.hyper("neg_sampling_power", 0.75))
+        return AliasSampler(counts, power=power,
+                            seed=int(self.config.runner("seed", 2023)))
+
     def make_dataset(self, data_dir: str, batch_size: int, shuffle=False):
         files = shard_files(
             list_data_files(data_dir), jax.process_index(), jax.process_count()
         )
         return SkipGramDataset(
-            files, self.vocab_size, self.window_size, self.neg_num, batch_size
+            files, self.vocab_size, self.window_size, self.neg_num,
+            batch_size, neg_sampler=self._neg_sampler(files),
         )
 
     def embedding_table(self, params) -> np.ndarray:
@@ -124,19 +155,21 @@ class ModelDef(ModelDef):
 class SkipGramDataset:
     """Space-separated token-id lines → (center, context, negatives).
 
-    Window pairs mirror the reference's reader; negatives are uniform
-    (the reference uses an alias table over word frequency — uniform keeps
-    the sample-data contract; frequency-weighted sampling is a config hook
-    on the full pipeline).
+    Window pairs mirror the reference's reader; negatives come from the
+    frequency alias sampler (unigram^0.75, the reference's
+    word2vec_reader.py:76-78 distribution) when one is provided, else
+    uniform.
     """
 
-    def __init__(self, files, vocab, window, neg_num, batch_size, seed=0):
+    def __init__(self, files, vocab, window, neg_num, batch_size, seed=0,
+                 neg_sampler=None):
         self.files = files
         self.vocab = vocab
         self.window = window
         self.neg_num = neg_num
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
+        self.neg_sampler = neg_sampler
 
     def __iter__(self):
         centers, positives = [], []
@@ -165,11 +198,13 @@ class SkipGramDataset:
 
     def _emit(self, centers, positives):
         b = len(centers)
+        if self.neg_sampler is not None:
+            negs = self.neg_sampler.sample((b, self.neg_num))
+        else:
+            negs = self.rng.randint(0, self.vocab, (b, self.neg_num))
         return {
             "center": np.asarray(centers, np.int32),
             "pos": np.asarray(positives, np.int32),
-            "negs": self.rng.randint(0, self.vocab, (b, self.neg_num)).astype(
-                np.int32
-            ),
+            "negs": negs.astype(np.int32),
             "mask": np.ones(b, np.float32),
         }
