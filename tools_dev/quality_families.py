@@ -1,0 +1,250 @@
+"""Family quality benchmark driver (VERDICT r3 item 2): trains each
+family's flagship on its planted-signal corpus
+(tools_dev/gen_family_corpora.py) and reports the metric next to the
+corpus ceiling — the same certify-against-achievable discipline as the
+CTR benchmark (doc/benchmark.md).
+
+usage:
+  python tools_dev/quality_families.py <corpora_root> [fam ...]
+Prints one FAMILY_RESULT json line per family and a final
+FAMILIES_SUMMARY line.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from paddlerec_tpu.core.config import Config  # noqa: E402
+from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
+
+EPOCHS = {"din": 8, "mmoe": 6, "esmm": 5, "ncf": 12, "dssm": 8}
+
+
+def _train(cfg_dict, epochs, eval_each=True):
+    cfg = Config(cfg_dict)
+    t = Trainer(cfg)
+    t.init_state()
+    best = {}
+    for ep in range(epochs):
+        t.config["runner.epochs"] = 1
+        t.train()
+        if eval_each:
+            ev = t.evaluate()
+            print(f"  epoch {ep}: " + json.dumps(
+                {k: round(float(v), 5) for k, v in ev.items()
+                 if isinstance(v, (int, float))}), flush=True)
+            for k, v in ev.items():
+                if isinstance(v, (int, float)) and v == v:
+                    best[k] = max(best.get(k, 0.0), float(v))
+    return t, best
+
+
+def run_din(root, epochs):
+    data = os.path.join(root, "din")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "rank.din",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.item_count": meta["items"],
+        "hyper_parameters.cat_count": meta["cats"],
+        "hyper_parameters.max_seq_len": meta["max_len"],
+        "hyper_parameters.item_emb_size": 16,
+        "hyper_parameters.cat_emb_size": 8,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, epochs)
+    return {
+        "model": "rank.din", "test_auc": round(best.get("auc", 0.0), 5),
+        "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "gap_to_bayes": round(meta["bayes_auc"] - best.get("auc", 0.0), 5),
+        "beats_sumpool_by": round(
+            best.get("auc", 0.0) - meta["sumpool_auc"], 5),
+    }
+
+
+def run_mmoe(root, epochs):
+    data = os.path.join(root, "mmoe")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "multitask.mmoe",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.feature_size": meta["feature_size"],
+        "hyper_parameters.expert_num": 8,
+        "hyper_parameters.expert_size": 32,
+        "hyper_parameters.tower_size": 16,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs)
+    out = {"model": "multitask.mmoe"}
+    for task in ("income", "marital"):
+        out[f"test_auc_{task}"] = round(best.get(task, 0.0), 5)
+        out[f"bayes_auc_{task}"] = meta[f"bayes_auc_{task}"]
+        out[f"linear_auc_{task}"] = meta[f"linear_auc_{task}"]
+        out[f"gap_{task}"] = round(
+            meta[f"bayes_auc_{task}"] - best.get(task, 0.0), 5)
+    return out
+
+
+def run_esmm(root, epochs):
+    data = os.path.join(root, "esmm")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "multitask.esmm",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 1024,
+        "runner.infer_batch_size": 1024,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.sparse_feature_number": meta["vocab"],
+        "hyper_parameters.sparse_feature_dim": 12,
+        "hyper_parameters.num_field": meta["fields"],
+        "hyper_parameters.max_len": 1,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, epochs)
+    return {
+        "model": "multitask.esmm",
+        "test_auc_ctr": round(best.get("ctr", 0.0), 5),
+        "bayes_auc_ctr": meta["bayes_auc_ctr"],
+        "gap_ctr": round(meta["bayes_auc_ctr"] - best.get("ctr", 0.0), 5),
+        "test_auc_ctcvr": round(best.get("ctcvr", 0.0), 5),
+        "bayes_auc_ctcvr": meta["bayes_auc_ctcvr"],
+        "gap_ctcvr": round(
+            meta["bayes_auc_ctcvr"] - best.get("ctcvr", 0.0), 5),
+    }
+
+
+def _ncf_ranked_eval(t, test_file, group=100):
+    """HR@10 / NDCG@10 over per-user (1 pos + N neg) groups — the
+    reference's movielens protocol (models/recall/ncf/readme.md)."""
+    rows = np.loadtxt(test_file, delimiter=",", dtype=np.int64)
+    users = rows[:, 0].astype(np.int32)
+    items = rows[:, 1].astype(np.int32)
+    labels = rows[:, 2]
+    params = jax.device_get(t.state.params)
+    logits = np.asarray(t.model_def.module.apply(
+        {"params": params}, users, items))
+    hr = ndcg = 0
+    n_groups = len(rows) // group
+    for g in range(n_groups):
+        sl = slice(g * group, (g + 1) * group)
+        s, lab = logits[sl], labels[sl]
+        rank = int((s > s[lab == 1][0]).sum())
+        if rank < 10:
+            hr += 1
+            ndcg += 1.0 / np.log2(rank + 2)
+    return hr / n_groups, ndcg / n_groups
+
+
+def run_ncf(root, epochs):
+    data = os.path.join(root, "ncf")
+    meta = json.load(open(f"{data}/meta.json"))
+    t, _ = _train({
+        "runner.model": "recall.ncf",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.train_batch_size": 1024,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.num_users": meta["num_users"],
+        "hyper_parameters.num_items": meta["num_items"],
+        "hyper_parameters.mf_dim": 8,
+        "hyper_parameters.fc_layers": [64, 32, 16, 8],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs, eval_each=False)
+    hr, ndcg = _ncf_ranked_eval(
+        t, f"{data}/test/part-0.txt", group=meta["test_negs"] + 1)
+    return {
+        "model": "recall.ncf",
+        "hr10": round(hr, 5), "ndcg10": round(ndcg, 5),
+        "oracle_hr10": meta["oracle_hr10"],
+        "oracle_ndcg10": meta["oracle_ndcg10"],
+        "gap_hr10": round(meta["oracle_hr10"] - hr, 5),
+    }
+
+
+def run_dssm(root, epochs):
+    data = os.path.join(root, "dssm")
+    meta = json.load(open(f"{data}/meta.json"))
+    t, best = _train({
+        "runner.model": "match.dssm",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 256,
+        "runner.infer_batch_size": 256,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.trigram_d": meta["trigram_d"],
+        "hyper_parameters.neg_num": meta["neg_num"],
+        "hyper_parameters.fc_sizes": [128, 128, 64],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs)
+    # protocol-tool leg: score the test split, write the reference's
+    # ``query \t score \t label`` file, run tools/cal_pos_neg on it
+    from paddlerec_tpu.tools.cal_pos_neg import cal_pos_neg
+
+    ds = t.model_def.make_dataset(f"{data}/test", 256)
+    params = jax.device_get(t.state.params)
+    score_file = os.path.join(root, "dssm_scores.txt")
+    qid = 0
+    with open(score_file, "w") as f:
+        for batch in ds:
+            sp, sn = t.model_def.module.apply(
+                {"params": params}, batch["query"], batch["doc_pos"],
+                batch["doc_negs"])
+            sp, sn = np.asarray(sp), np.asarray(sn)
+            m = batch.get("mask")
+            for i in range(len(sp)):
+                if m is not None and m[i] == 0:
+                    continue
+                f.write(f"q{qid}\t{sp[i]:.6f}\t1\n")
+                for j in range(sn.shape[1]):
+                    f.write(f"q{qid}\t{sn[i, j]:.6f}\t0\n")
+                qid += 1
+    pnr = cal_pos_neg(score_file)
+    return {
+        "model": "match.dssm",
+        "pnr_auc_identity": round(best.get("pnr", 0.0), 5),
+        "cal_pos_neg_PNR": round(pnr.get("PNR", 0.0), 5),
+        "bayes_pnr": meta["bayes_pnr"],
+        "gap_pnr": round(meta["bayes_pnr"] - pnr.get("PNR", 0.0), 5),
+    }
+
+
+RUNNERS = {"din": run_din, "mmoe": run_mmoe, "esmm": run_esmm,
+           "ncf": run_ncf, "dssm": run_dssm}
+
+
+def main():
+    root = sys.argv[1]
+    fams = sys.argv[2:] or list(RUNNERS)
+    summary = []
+    for fam in fams:
+        print(f"FAMILY_START {fam}", flush=True)
+        res = RUNNERS[fam](root, EPOCHS[fam])
+        summary.append(res)
+        print("FAMILY_RESULT " + json.dumps(res), flush=True)
+    print("FAMILIES_SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
