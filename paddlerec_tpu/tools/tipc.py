@@ -258,6 +258,16 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
                 staged.append(batch)
                 if len(staged) >= steps:
                     break
+            synth_cell = False
+            if not staged and hasattr(trainer.model_def, "example_batch"):
+                # deep cells (bs 2048/8192, VERDICT r3 item 6) exceed
+                # the lite fixture's row count; step throughput is
+                # shape-driven, so a synthetic batch measures the same
+                # regime the headline bench runs at
+                synth_cell = True
+                staged = list(trainer._device_batches(
+                    iter([trainer.model_def.example_batch(bs)])
+                ))
             if not staged:
                 print(f"benchmark_train {model_name}: no data for "
                       f"batch {bs}; skipping cell")

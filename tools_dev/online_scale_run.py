@@ -85,6 +85,12 @@ def main():
         "rows_per_s": round(rows / wall, 0),
         "e2e_rows_per_s_incl_eval": round(2 * rows / wall, 0),
         "deltas_published": len(deltas),
+        # per-phase attribution (VERDICT r3 item 4): prepare (parse +
+        # shuffle, overlapped by prefetch), infer (join-time eval +
+        # the single staging transfer + row observation), train (replay
+        # from HBM), publish (checkpoint/delta/base)
+        "phases": {k: round(v, 1)
+                   for k, v in sorted(trainer.phase_times.items())},
     }), flush=True)
 
 

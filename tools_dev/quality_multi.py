@@ -41,7 +41,10 @@ def main():
     for entry in specs:
         model = entry["model"]
         print(f"MODEL_START {model}", flush=True)
-        t = Trainer(build_config(model, data, meta))
+        cfg = build_config(model, data, meta)
+        for k, v in entry.get("hyper", {}).items():
+            cfg[f"hyper_parameters.{k}"] = v
+        t = Trainer(cfg)
         t.init_state()
         if shared is not None:
             t._resident = shared

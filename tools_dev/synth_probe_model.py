@@ -100,6 +100,12 @@ class SynthCrossNet(nn.Module):
     vocab_size: int
     init_stddev: float = 0.05
     m_init_stddev: float = 0.5  # the generator prior's sigma_M = 1/sqrt(K)
+    # when set, M is FIXED to the generator's true pair_matrix(seed)
+    # instead of learned: the per-feasign-estimation-only ceiling, the
+    # exact counterpart of the posterior oracle's M-known assumption.
+    # The M-learned probe measures what JOINT bilinear SGD achieves —
+    # the fair peer for dcn_v2, which also learns its cross weights.
+    fixed_m_seed: int = -1
     table_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,11 +118,21 @@ class SynthCrossNet(nn.Module):
         )(sparse_ids)  # (B, S, 1+LAT): lane 0 = w, lanes 1: = latent
         first = fused[..., 0].sum(axis=1)
         lat = fused[..., 1:].astype(jnp.float32)  # (B, S, K)
-        m = self.param(
-            "pair_m", nn.initializers.normal(self.m_init_stddev),
-            (s, s, k, k),
-        )
-        m = m * jnp.triu(jnp.ones((s, s), bool), 1)[:, :, None, None]
+        if self.fixed_m_seed >= 0:
+            import sys as _sys
+            import os as _os
+
+            _sys.path.insert(0, _os.path.dirname(
+                _os.path.abspath(__file__)))
+            import synth_model as _sm
+
+            m = jnp.asarray(_sm.pair_matrix({"seed": self.fixed_m_seed}))
+        else:
+            m = self.param(
+                "pair_m", nn.initializers.normal(self.m_init_stddev),
+                (s, s, k, k),
+            )
+            m = m * jnp.triu(jnp.ones((s, s), bool), 1)[:, :, None, None]
         g2 = lat.reshape(lat.shape[0], s * k)
         m2 = m.transpose(0, 2, 1, 3).reshape(s * k, s * k)
         second = ((g2 @ m2) * g2).sum(axis=-1)
@@ -160,5 +176,6 @@ class CrossModelDef(CTRModelDef):
             self.vocab_size,
             init_stddev=float(config.hyper("probe_init_stddev", 0.05)),
             m_init_stddev=float(config.hyper("probe_m_init_stddev", 0.5)),
+            fixed_m_seed=int(config.hyper("probe_fixed_m_seed", -1)),
             table_dtype=self.table_dtype(),
         )
