@@ -454,3 +454,53 @@ def test_export_strips_delta_and_runs_plain_lookup(tmp_path):
     )["predictions"]
     np.testing.assert_allclose(np.asarray(art), np.asarray(train_out),
                                rtol=1e-5)
+
+
+def test_lazy_adam_skips_zero_grad_rows():
+    """A row whose summed grad is exactly zero (e.g. a host-table
+    overflow row whose grads the fetch path zeroed) must take NO step:
+    a zero-grad Adam step still moves the table (momentum decay + bias
+    correction) and mutates m/v/count (round-3 advisor finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paddlerec_tpu.ops.sparse_update import (
+        SENTINEL, apply_sparse_adam_compact, apply_sparse_update,
+        rowwise_adam_init,
+    )
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    state = rowwise_adam_init(table)
+    # seed momentum so a zero-grad step would visibly move the table
+    state = state._replace(
+        m=state.m.at[:].set(0.5),
+        v=state.v.at[:].set(0.25),
+        count=state.count.at[:].set(3),
+    )
+    # positions: rows 2 (real grad) and 7 (zeroed grad)
+    uniq = np.full(4, SENTINEL, np.int32)
+    uniq[:2] = [2, 7]
+    slot = np.array([0, 1, 1, 1], np.int32)
+    delta = np.zeros((4, 128), np.float32)
+    delta[0] = 0.1  # row 2 gets grad; rows mapping to uniq[1]=7 stay 0
+    t2, s2 = apply_sparse_adam_compact(
+        table, state, jnp.asarray(delta), jnp.asarray(uniq),
+        jnp.asarray(slot), lr=0.01,
+    )
+    assert not np.allclose(np.asarray(t2[2]), np.asarray(table[2]))
+    np.testing.assert_array_equal(np.asarray(t2[7]), np.asarray(table[7]))
+    np.testing.assert_array_equal(np.asarray(s2.m[7]), 0.5)
+    np.testing.assert_array_equal(np.asarray(s2.count[7]), 3)
+    assert int(s2.count[2]) == 4
+
+    # positional variant: same contract
+    phys = np.array([2, 7], np.int32)
+    d2 = np.zeros((2, 128), np.float32)
+    d2[0] = 0.1
+    t3, s3 = apply_sparse_update(
+        table, state, jnp.asarray(d2), jnp.asarray(phys), lr=0.01,
+    )
+    np.testing.assert_array_equal(np.asarray(t3[7]), np.asarray(table[7]))
+    np.testing.assert_array_equal(np.asarray(s3.m[7]), 0.5)
+    assert not np.allclose(np.asarray(t3[2]), np.asarray(table[2]))
