@@ -22,15 +22,24 @@ import jax  # noqa: E402
 from paddlerec_tpu.core.config import Config  # noqa: E402
 from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 
-EPOCHS = {"din": 8, "mmoe": 6, "esmm": 5, "ncf": 12, "dssm": 8}
+EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 14, "dssm": 8}
 
 
-def _train(cfg_dict, epochs, eval_each=True):
-    cfg = Config(cfg_dict)
+def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
+           decay_from=None):
+    cfg = Config(dict(
+        cfg_dict, **{"hyper_parameters.optimizer.runtime_inject": True}
+    ))
     t = Trainer(cfg)
     t.init_state()
+    lr = float(cfg.hyper("optimizer.learning_rate", 1e-3))
+    if decay_from is None:
+        decay_from = max(epochs // 2, 1)
     best = {}
     for ep in range(epochs):
+        if lr_decay and ep >= decay_from:
+            lr *= lr_decay
+            t.set_hyperparams(learning_rate=lr)
         t.config["runner.epochs"] = 1
         t.train()
         if eval_each:
@@ -92,12 +101,15 @@ def run_mmoe(root, epochs):
         "hyper_parameters.optimizer.learning_rate": 1e-3,
     }, epochs)
     out = {"model": "multitask.mmoe"}
+    # evaluate() names the first task's AUC "auc" and later ones
+    # "auc_<task>" (core/metrics bundle convention)
+    got = {"income": best.get("auc", 0.0),
+           "marital": best.get("auc_marital", 0.0)}
     for task in ("income", "marital"):
-        out[f"test_auc_{task}"] = round(best.get(task, 0.0), 5)
+        out[f"test_auc_{task}"] = round(got[task], 5)
         out[f"bayes_auc_{task}"] = meta[f"bayes_auc_{task}"]
         out[f"linear_auc_{task}"] = meta[f"linear_auc_{task}"]
-        out[f"gap_{task}"] = round(
-            meta[f"bayes_auc_{task}"] - best.get(task, 0.0), 5)
+        out[f"gap_{task}"] = round(meta[f"bayes_auc_{task}"] - got[task], 5)
     return out
 
 
@@ -119,15 +131,16 @@ def run_esmm(root, epochs):
         "hyper_parameters.optimizer.class": "Adam",
         "hyper_parameters.optimizer.learning_rate": 2e-3,
     }, epochs)
+    ctr = best.get("auc", 0.0)
+    ctcvr = best.get("auc_ctcvr", 0.0)
     return {
         "model": "multitask.esmm",
-        "test_auc_ctr": round(best.get("ctr", 0.0), 5),
+        "test_auc_ctr": round(ctr, 5),
         "bayes_auc_ctr": meta["bayes_auc_ctr"],
-        "gap_ctr": round(meta["bayes_auc_ctr"] - best.get("ctr", 0.0), 5),
-        "test_auc_ctcvr": round(best.get("ctcvr", 0.0), 5),
+        "gap_ctr": round(meta["bayes_auc_ctr"] - ctr, 5),
+        "test_auc_ctcvr": round(ctcvr, 5),
         "bayes_auc_ctcvr": meta["bayes_auc_ctcvr"],
-        "gap_ctcvr": round(
-            meta["bayes_auc_ctcvr"] - best.get("ctcvr", 0.0), 5),
+        "gap_ctcvr": round(meta["bayes_auc_ctcvr"] - ctcvr, 5),
     }
 
 
