@@ -53,9 +53,69 @@ def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
     return t, best
 
 
+def _register_din_probe():
+    """Matched-form probe for the din corpus: learnable item latents +
+    the generator's exact softmax-pooled-similarity form (learnable
+    tau/gamma/bias).  Pins the REALIZABLE ceiling the way dev.synth_fm
+    does for the CTR corpus — DIN's remaining gap to bayes is then
+    attributable to its concat-MLP tower having to approximate an inner
+    product, not to this framework's optimization."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from paddlerec_tpu.core import registry
+    from paddlerec_tpu.core.registry import register_model
+    from paddlerec_tpu.models.rank.din.model import ModelDef as DINDef
+
+    if "dev.din_probe" in registry._REGISTRY:
+        return
+
+    class MatchedAttnNet(nn.Module):
+        item_count: int
+        k: int = 8
+
+        @nn.compact
+        def __call__(self, hist_item, hist_cat, target_item, target_cat,
+                     seq_mask):
+            z = nn.Embed(self.item_count, self.k, name="z",
+                         embedding_init=nn.initializers.normal(0.1))
+            rel = jnp.einsum("bk,blk->bl", z(target_item), z(hist_item))
+            tau = self.param("tau", nn.initializers.constant(4.0), ())
+            gamma = self.param("gamma", nn.initializers.constant(2.0), ())
+            bias = self.param("bias", nn.initializers.zeros, ())
+            live = seq_mask > 0
+            relm = jnp.where(live, rel, -1e30)
+            a = jax.nn.softmax(tau * relm, axis=-1) * live
+            sig = (a * jnp.where(live, rel, 0.0)).sum(-1)
+            return bias + gamma * sig
+
+    @register_model("dev.din_probe")
+    class DinProbeDef(DINDef):
+        def __init__(self, config):
+            super().__init__(config)
+            self.module = MatchedAttnNet(self.item_count)
+
+
 def run_din(root, epochs):
     data = os.path.join(root, "din")
     meta = json.load(open(f"{data}/meta.json"))
+    _register_din_probe()
+    _, probe_best = _train({
+        "runner.model": "dev.din_probe",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 500,
+        "runner.shuffle_files": True,
+        "hyper_parameters.item_count": meta["items"],
+        "hyper_parameters.cat_count": meta["cats"],
+        "hyper_parameters.max_seq_len": meta["max_len"],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 5e-3,
+    }, epochs)
     _, best = _train({
         "runner.model": "rank.din",
         "runner.train_data_dir": f"{data}/train",
@@ -73,10 +133,13 @@ def run_din(root, epochs):
         "hyper_parameters.optimizer.class": "Adam",
         "hyper_parameters.optimizer.learning_rate": 2e-3,
     }, epochs)
+    probe = probe_best.get("auc", 0.0)
     return {
         "model": "rank.din", "test_auc": round(best.get("auc", 0.0), 5),
         "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "matched_probe_auc": round(probe, 5),
         "gap_to_bayes": round(meta["bayes_auc"] - best.get("auc", 0.0), 5),
+        "gap_to_probe": round(probe - best.get("auc", 0.0), 5),
         "beats_sumpool_by": round(
             best.get("auc", 0.0) - meta["sumpool_auc"], 5),
     }
