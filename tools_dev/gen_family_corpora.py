@@ -175,7 +175,7 @@ def gen_esmm(out, rows=300_000, test_rows=50_000, vocab=20_000, fields=23,
     v_field = vocab // fields  # field-unique id ranges, like the corpus
 
     def gen_split(n, path, collect=False):
-        st = {"pc": [], "pv": [], "click": [], "conv": []}
+        st = {"pc": [], "pv": [], "click": [], "conv": [], "ids": []}
         with open(path, "w") as f:
             done = 0
             while done < n:
@@ -201,22 +201,53 @@ def gen_esmm(out, rows=300_000, test_rows=50_000, vocab=20_000, fields=23,
                     st["pv"].append(pv)
                     st["click"].append(click)
                     st["conv"].append(conv)
+                    st["ids"].append(ids.astype(np.int32))
                 done += m
         return st
 
     os.makedirs(f"{out}/train", exist_ok=True)
     os.makedirs(f"{out}/test", exist_ok=True)
-    gen_split(rows, f"{out}/train/part-0.txt")
+    tr = gen_split(rows, f"{out}/train/part-0.txt", collect=True)
     st = gen_split(test_rows, f"{out}/test/part-0.txt", collect=True)
     pc = np.concatenate(st["pc"])
     pv = np.concatenate(st["pv"])
     click = np.concatenate(st["click"])
     conv = np.concatenate(st["conv"])
+    # estimation-aware (posterior-shrinkage) ceilings, the same math as
+    # tools_dev/posterior_oracle.py's additive part: w_hat = lam*w + xi,
+    # lam = n/(n+kappa), kappa = 1/(I*sigma^2).  CTR effects observe
+    # every row; CVR effects observe only CLICKED rows.
+    rng2 = np.random.RandomState(seed + 1)
+    pc_tr = np.concatenate(tr["pc"])
+    pv_tr = np.concatenate(tr["pv"])
+    click_tr = np.concatenate(tr["click"])
+    ids_tr = np.concatenate(tr["ids"])
+    counts = np.bincount(ids_tr.reshape(-1), minlength=vocab)
+    counts_clicked = np.bincount(
+        ids_tr[click_tr > 0].reshape(-1), minlength=vocab)
+    i_ctr = float((pc_tr * (1 - pc_tr)).mean())
+    i_cvr = float((pv_tr[click_tr > 0] * (1 - pv_tr[click_tr > 0])).mean())
+
+    def shrunk(w, n, info):
+        var = w.astype(np.float64) ** 2
+        kap = np.where(var > 0, 1.0 / (info * np.maximum(var, 1e-12)),
+                       np.inf)
+        lam = n / (n + kap)
+        return (lam * w + rng2.randn(len(w))
+                * np.sqrt(lam * (1 - lam) * var)).astype(np.float32)
+
+    w_ctr_hat = shrunk(w_ctr, counts, i_ctr)
+    w_cvr_hat = shrunk(w_cvr, counts_clicked, i_cvr)
+    ids_te = np.concatenate(st["ids"])
+    o_ctr = 1 / (1 + np.exp(-(w_ctr_hat[ids_te].sum(1) + b_ctr)))
+    o_ctcvr = o_ctr / (1 + np.exp(-(w_cvr_hat[ids_te].sum(1) + b_cvr)))
     meta = {
         "family": "esmm", "vocab": vocab, "fields": fields, "rows": rows,
         "test_rows": test_rows, "seed": seed, "rho": rho,
         "bayes_auc_ctr": round(_auc(pc, click), 5),
         "bayes_auc_ctcvr": round(_auc(pc * pv, conv), 5),
+        "oracle_auc_ctr": round(_auc(o_ctr, click), 5),
+        "oracle_auc_ctcvr": round(_auc(o_ctcvr, conv), 5),
         "click_rate": round(float(click.mean()), 5),
         "conv_rate": round(float(conv.mean()), 5),
     }

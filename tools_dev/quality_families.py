@@ -196,7 +196,7 @@ def run_esmm(root, epochs):
     }, epochs)
     ctr = best.get("auc", 0.0)
     ctcvr = best.get("auc_ctcvr", 0.0)
-    return {
+    out = {
         "model": "multitask.esmm",
         "test_auc_ctr": round(ctr, 5),
         "bayes_auc_ctr": meta["bayes_auc_ctr"],
@@ -205,6 +205,14 @@ def run_esmm(root, epochs):
         "bayes_auc_ctcvr": meta["bayes_auc_ctcvr"],
         "gap_ctcvr": round(meta["bayes_auc_ctcvr"] - ctcvr, 5),
     }
+    # estimation-aware ceilings (posterior shrinkage; see gen_esmm)
+    if "oracle_auc_ctr" in meta:
+        out["oracle_auc_ctr"] = meta["oracle_auc_ctr"]
+        out["oracle_auc_ctcvr"] = meta["oracle_auc_ctcvr"]
+        out["gap_ctr_oracle"] = round(meta["oracle_auc_ctr"] - ctr, 5)
+        out["gap_ctcvr_oracle"] = round(
+            meta["oracle_auc_ctcvr"] - ctcvr, 5)
+    return out
 
 
 def _ncf_ranked_eval(t, test_file, group=100):
