@@ -267,7 +267,11 @@ def gen_ncf(out, users=3000, items=1500, k=8, pos_per_user=30, neg_ratio=4,
     os.makedirs(f"{out}/train", exist_ok=True)
     os.makedirs(f"{out}/test", exist_ok=True)
     # per-user positives: top-heavy sample without replacement by score
-    hits, hr_true, ndcg_true = [], 0, 0.0
+    hr_true, ndcg_true = 0, 0.0
+    n_tr = pos_per_user * (1 + neg_ratio)
+    tr_items = np.zeros((users, n_tr), np.int64)
+    tr_labels = np.zeros((users, n_tr), np.float32)
+    test_cand = np.zeros((users, test_negs + 1), np.int64)
     with open(f"{out}/train/part-0.txt", "w") as ftr, \
             open(f"{out}/test/part-0.txt", "w") as fte:
         for uid in range(users):
@@ -275,10 +279,16 @@ def gen_ncf(out, users=3000, items=1500, k=8, pos_per_user=30, neg_ratio=4,
             p /= p.sum()
             pos = rng.choice(items, pos_per_user + 1, replace=False, p=p)
             heldout, pos = pos[0], pos[1:]
+            col = 0
             for it in pos:
                 ftr.write(f"{uid},{it},1\n")
+                tr_items[uid, col], tr_labels[uid, col] = it, 1.0
+                col += 1
                 for _ in range(neg_ratio):
-                    ftr.write(f"{uid},{rng.randint(0, items)},0\n")
+                    ng = rng.randint(0, items)
+                    ftr.write(f"{uid},{ng},0\n")
+                    tr_items[uid, col] = ng
+                    col += 1
             # ranked test: heldout positive + test_negs sampled negatives
             negs = rng.choice(
                 np.setdiff1d(np.arange(items), np.append(pos, heldout)),
@@ -286,18 +296,42 @@ def gen_ncf(out, users=3000, items=1500, k=8, pos_per_user=30, neg_ratio=4,
             fte.write(f"{uid},{heldout},1\n")
             for it in negs:
                 fte.write(f"{uid},{it},0\n")
+            test_cand[uid] = np.append([heldout], negs)
             # oracle: rank by TRUE score
-            cand = np.append([heldout], negs)
+            cand = test_cand[uid]
             order = np.argsort(-scores[uid][cand])
             rank = int(np.where(order == 0)[0][0])
             if rank < 10:
                 hr_true += 1
                 ndcg_true += 1.0 / np.log2(rank + 2)
+
+    # REFIT oracle (the achievable given-data ceiling): with the true
+    # item vectors/biases known, refit each user's vector by logistic
+    # regression on exactly its train rows, then rank the test
+    # candidates.  Batched full-gradient descent across all users.
+    u_hat = np.zeros((users, k), np.float32)
+    v_tr = I[tr_items]                       # (U, n_tr, k)
+    b_tr = b_item[tr_items]                  # (U, n_tr)
+    for _ in range(300):
+        logits = np.einsum("uk,unk->un", u_hat, v_tr) + b_tr
+        g = (1 / (1 + np.exp(-logits)) - tr_labels)  # (U, n_tr)
+        grad = np.einsum("un,unk->uk", g, v_tr) / n_tr + 0.02 * u_hat
+        u_hat -= 0.5 * grad
+    hr_fit, ndcg_fit = 0, 0.0
+    s_fit = np.einsum("uk,unk->un", u_hat, I[test_cand]) \
+        + b_item[test_cand]
+    for uid in range(users):
+        rank = int((s_fit[uid] > s_fit[uid, 0]).sum())
+        if rank < 10:
+            hr_fit += 1
+            ndcg_fit += 1.0 / np.log2(rank + 2)
     meta = {
         "family": "ncf", "num_users": users, "num_items": items,
         "seed": seed, "pos_per_user": pos_per_user, "test_negs": test_negs,
         "oracle_hr10": round(hr_true / users, 5),
         "oracle_ndcg10": round(ndcg_true / users, 5),
+        "refit_oracle_hr10": round(hr_fit / users, 5),
+        "refit_oracle_ndcg10": round(ndcg_fit / users, 5),
     }
     json.dump(meta, open(f"{out}/meta.json", "w"))
     return meta

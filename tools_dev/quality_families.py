@@ -282,13 +282,21 @@ def run_ncf(root, epochs):
             print(f"  epoch {ep}: HR@10={hr:.4f} NDCG@10={ndcg:.4f}",
                   flush=True)
             best_hr, best_ndcg = max(best_hr, hr), max(best_ndcg, ndcg)
-    return {
+    out = {
         "model": "recall.ncf",
         "hr10": round(best_hr, 5), "ndcg10": round(best_ndcg, 5),
         "oracle_hr10": meta["oracle_hr10"],
         "oracle_ndcg10": meta["oracle_ndcg10"],
         "gap_hr10": round(meta["oracle_hr10"] - best_hr, 5),
     }
+    if "refit_oracle_hr10" in meta:
+        # achievable given-data ceiling: true item vectors + per-user
+        # refit on exactly the train rows (see gen_ncf)
+        out["refit_oracle_hr10"] = meta["refit_oracle_hr10"]
+        out["refit_oracle_ndcg10"] = meta["refit_oracle_ndcg10"]
+        out["gap_hr10_refit"] = round(
+            meta["refit_oracle_hr10"] - best_hr, 5)
+    return out
 
 
 def run_dssm(root, epochs):
