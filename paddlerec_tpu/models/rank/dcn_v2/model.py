@@ -25,7 +25,11 @@ class DCNv2Net(nn.Module):
     cross_num: int = 2
     is_stacked: bool = True
     use_low_rank_mixture: bool = True
-    low_rank: int = 32
+    # the reference's shipped Criteo repro value (config.yaml:48 'low_rank:
+    # 256') — >= the concat width, so the mixture is effectively
+    # full-rank; 32 (the paper's toy setting) measurably caps cross-form
+    # estimation (doc/benchmark.md round-4 cross corpus)
+    low_rank: int = 256
     num_experts: int = 4
 
     @nn.compact
@@ -65,6 +69,6 @@ class ModelDef(CTRModelDef):
             int(config.hyper("cross_num", 2)),
             bool(config.hyper("is_Stacked", True)),
             bool(config.hyper("use_low_rank_mixture", True)),
-            int(config.hyper("low_rank", 32)),
+            int(config.hyper("low_rank", 256)),
             int(config.hyper("num_experts", 4)),
         )
