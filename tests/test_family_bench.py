@@ -1,0 +1,61 @@
+"""Family quality benchmark plumbing (VERDICT r3 item 2): generators
+emit native-format corpora with measured ceilings, and the driver
+trains each flagship end-to-end against them (tiny corpora here; the
+committed full-scale numbers live in doc/benchmark.md)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fam")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "tools_dev", "gen_family_corpora.py"),
+         "--out", str(out), "--small"],
+        check=True, env=env, timeout=600,
+    )
+    return str(out)
+
+
+def _meta(corpora, fam):
+    return json.load(open(os.path.join(corpora, fam, "meta.json")))
+
+
+def test_metas_carry_ceilings(corpora):
+    din = _meta(corpora, "din")
+    # attention must be NECESSARY: sum-pool ceiling well under bayes
+    assert din["sumpool_auc"] < din["bayes_auc"]
+    mmoe = _meta(corpora, "mmoe")
+    assert mmoe["linear_auc_income"] < mmoe["bayes_auc_income"]
+    esmm = _meta(corpora, "esmm")
+    assert 0.5 < esmm["oracle_auc_ctr"] <= esmm["bayes_auc_ctr"] + 0.02
+    ncf = _meta(corpora, "ncf")
+    assert 0 < ncf["refit_oracle_hr10"] <= ncf["oracle_hr10"] + 0.1
+    dssm = _meta(corpora, "dssm")
+    assert 0.7 < dssm["bayes_pnr"] <= 1.0
+
+
+def test_driver_trains_each_family(corpora):
+    sys.path.insert(0, ROOT)
+    from tools_dev import quality_families as qf
+
+    res = qf.run_mmoe(corpora, 2)
+    assert 0.5 < res["test_auc_income"] <= 1.0
+    res = qf.run_esmm(corpora, 2)
+    assert 0.4 < res["test_auc_ctr"] <= 1.0
+    res = qf.run_ncf(corpora, 2)
+    assert 0.0 <= res["hr10"] <= 1.0
+    res = qf.run_dssm(corpora, 2)
+    assert 0.0 <= res["pnr_ties_half"] <= 1.0
+    res = qf.run_din(corpora, 2)
+    assert 0.4 < res["test_auc"] <= 1.0
+    assert "matched_probe_auc" in res
