@@ -336,8 +336,12 @@ class HostTieredTable:
                 self._pre_found = self._initialized[ids].copy()
                 self._prefetched = (ids, vals)
 
-        self._prefetch_thread = threading.Thread(target=work, daemon=True)
-        self._prefetch_thread.start()
+        th = threading.Thread(target=work, daemon=True)
+        # start BEFORE publishing: a concurrent _join_prefetch (from
+        # end_pass on the main thread while this runs on the prepare
+        # thread) must never see an unstarted thread
+        th.start()
+        self._prefetch_thread = th
 
     def _join_prefetch(self) -> None:
         th = self._prefetch_thread
