@@ -22,7 +22,9 @@ import jax  # noqa: E402
 from paddlerec_tpu.core.config import Config  # noqa: E402
 from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 
-EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8}
+EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8,
+          "bst": 16, "dien": 16, "ple": 10, "aitm": 10,
+          "multiview_simnet": 8, "mind": 24}
 
 
 def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
@@ -154,9 +156,65 @@ def run_din(root, epochs):
     }
 
 
+def _register_mmoe_probe():
+    """Matched-form probe for the mmoe corpus: the generator's exact
+    two-task form score_t = a_t . tanh(x V) + w_t . x + b_t
+    (gen_family_corpora.gen_mmoe), fit by this stack.  Together with the
+    Fisher-information oracle (tools_dev/mmoe_oracle.py) it decomposes
+    mmoe's gap to bayes: bayes -> Fisher oracle is irreducible
+    estimation noise; Fisher oracle -> probe is the non-convex joint
+    fit of the shared tanh layer, paid even by the matched form; probe
+    -> mmoe is architecture/optimization residual."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from paddlerec_tpu.core import registry
+    from paddlerec_tpu.core.registry import register_model
+    from paddlerec_tpu.models.multitask.mmoe.model import ModelDef as MMoEDef
+
+    if "dev.mmoe_probe" in registry._REGISTRY:
+        return
+
+    class MatchedMultitaskNet(nn.Module):
+        feature_size: int
+        hidden: int = 16
+        tasks: int = 2
+
+        @nn.compact
+        def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+            V = self.param("V", nn.initializers.normal(0.1),
+                           (self.feature_size, self.hidden))
+            a = self.param("a", nn.initializers.normal(0.3),
+                           (self.tasks, self.hidden))
+            w = self.param("w", nn.initializers.normal(0.03),
+                           (self.tasks, self.feature_size))
+            b = self.param("bias", nn.initializers.zeros, (self.tasks,))
+            s = jnp.tanh(x @ V) @ a.T + x @ w.T + b
+            return nn.sigmoid(s)
+
+    @register_model("dev.mmoe_probe")
+    class MMoEProbeDef(MMoEDef):
+        def __init__(self, config):
+            super().__init__(config)
+            self.module = MatchedMultitaskNet(self.feature_size)
+
+
 def run_mmoe(root, epochs):
     data = os.path.join(root, "mmoe")
     meta = json.load(open(f"{data}/meta.json"))
+    _register_mmoe_probe()
+    _, probe_best = _train({
+        "runner.model": "dev.mmoe_probe",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.feature_size": meta["feature_size"],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, max(epochs, 16))
     _, best = _train({
         "runner.model": "multitask.mmoe",
         "runner.train_data_dir": f"{data}/train",
@@ -177,11 +235,15 @@ def run_mmoe(root, epochs):
     # "auc_<task>" (core/metrics bundle convention)
     got = {"income": best.get("auc", 0.0),
            "marital": best.get("auc_marital", 0.0)}
+    probe = {"income": probe_best.get("auc", 0.0),
+             "marital": probe_best.get("auc_marital", 0.0)}
     for task in ("income", "marital"):
         out[f"test_auc_{task}"] = round(got[task], 5)
+        out[f"probe_auc_{task}"] = round(probe[task], 5)
         out[f"bayes_auc_{task}"] = meta[f"bayes_auc_{task}"]
         out[f"linear_auc_{task}"] = meta[f"linear_auc_{task}"]
         out[f"gap_{task}"] = round(meta[f"bayes_auc_{task}"] - got[task], 5)
+        out[f"gap_to_probe_{task}"] = round(probe[task] - got[task], 5)
     return out
 
 
@@ -354,8 +416,330 @@ def run_dssm(root, epochs):
     }
 
 
+# ------------------------------------------------------------------ wave 2
+def _run_seq_model(model, data, meta, epochs, extra_hyper):
+    """One sequence-family model on the din corpus (attention-necessary
+    planted signal; the committed din row pins the corpus ceilings)."""
+    _, best = _train(dict({
+        "runner.model": model,
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.item_count": meta["items"],
+        "hyper_parameters.cat_count": meta["cats"],
+        "hyper_parameters.max_seq_len": meta["max_len"],
+        "hyper_parameters.item_emb_size": 16,
+        "hyper_parameters.cat_emb_size": 8,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, **{f"hyper_parameters.{k}": v for k, v in extra_hyper.items()}),
+        epochs)
+    return best.get("auc", 0.0)
+
+
+def run_bst(root, epochs):
+    """Does the transformer form also clear the sum-pool ceiling on the
+    attention-necessary corpus?  (reference models/rank/bst/README.md)"""
+    data = os.path.join(root, "din")
+    meta = json.load(open(f"{data}/meta.json"))
+    auc = _run_seq_model("rank.bst", data, meta, epochs, {
+        "n_head": 2, "num_blocks": 1, "ffn_dim": 64,
+        "fc_sizes": [128, 64]})
+    return {
+        "model": "rank.bst", "test_auc": round(auc, 5),
+        "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "beats_sumpool_by": round(auc - meta["sumpool_auc"], 5),
+        "gap_to_bayes": round(meta["bayes_auc"] - auc, 5),
+    }
+
+
+def run_dien(root, epochs):
+    """GRU interest-evolution form on the same corpus
+    (reference models/rank/dien/README.md)."""
+    data = os.path.join(root, "din")
+    meta = json.load(open(f"{data}/meta.json"))
+    auc = _run_seq_model("rank.dien", data, meta, epochs, {
+        "gru_hidden": 32, "fc_sizes": [128, 64]})
+    return {
+        "model": "rank.dien", "test_auc": round(auc, 5),
+        "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "beats_sumpool_by": round(auc - meta["sumpool_auc"], 5),
+        "gap_to_bayes": round(meta["bayes_auc"] - auc, 5),
+    }
+
+
+def run_ple(root, epochs):
+    """PLE on the mmoe corpus: same planted shared nonlinearity, judged
+    against the same linear floor / Fisher oracle / matched probe
+    (reference models/multitask/ple/README.md)."""
+    data = os.path.join(root, "mmoe")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "multitask.ple",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.feature_size": meta["feature_size"],
+        "hyper_parameters.task_num": 2,
+        "hyper_parameters.exp_per_task": 3,
+        "hyper_parameters.shared_num": 2,
+        "hyper_parameters.expert_size": 32,
+        "hyper_parameters.tower_size": 16,
+        "hyper_parameters.level_number": 2,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs)
+    out = {"model": "multitask.ple"}
+    got = {"income": best.get("auc", 0.0),
+           "marital": best.get("auc_marital", 0.0)}
+    for task in ("income", "marital"):
+        out[f"test_auc_{task}"] = round(got[task], 5)
+        out[f"bayes_auc_{task}"] = meta[f"bayes_auc_{task}"]
+        out[f"linear_auc_{task}"] = meta[f"linear_auc_{task}"]
+        out[f"gap_{task}"] = round(meta[f"bayes_auc_{task}"] - got[task], 5)
+    return out
+
+
+def run_aitm(root, epochs):
+    """AITM on the esmm corpus (same ali-ccp format + estimation-aware
+    oracles; conversion observable only on clicked rows — the transfer
+    the AIT module models; reference models/multitask/aitm/README.md)."""
+    data = os.path.join(root, "esmm")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "multitask.aitm",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.test_data_dir": f"{data}/test",
+        "runner.train_batch_size": 1024,
+        "runner.infer_batch_size": 1024,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.sparse_feature_number": meta["vocab"],
+        "hyper_parameters.sparse_feature_dim": 12,
+        "hyper_parameters.num_field": meta["fields"],
+        "hyper_parameters.max_len": 1,
+        "hyper_parameters.tower_dims": [128, 64, 32],
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, epochs)
+    ctr, ctcvr = best.get("auc", 0.0), best.get("auc_ctcvr", 0.0)
+    return {
+        "model": "multitask.aitm",
+        "test_auc_ctr": round(ctr, 5),
+        "test_auc_ctcvr": round(ctcvr, 5),
+        "bayes_auc_ctr": meta["bayes_auc_ctr"],
+        "bayes_auc_ctcvr": meta["bayes_auc_ctcvr"],
+        "oracle_auc_ctr": meta.get("oracle_auc_ctr"),
+        "oracle_auc_ctcvr": meta.get("oracle_auc_ctcvr"),
+        "gap_ctr_oracle": round(meta["oracle_auc_ctr"] - ctr, 5),
+        "gap_ctcvr_oracle": round(meta["oracle_auc_ctcvr"] - ctcvr, 5),
+    }
+
+
+def _trigram_tokens(vec_csv):
+    """dssm-corpus dense 0/1 trigram vector -> 1-based token id list."""
+    return [i + 1 for i, x in enumerate(vec_csv.split(",")) if x == "1"]
+
+
+def run_multiview_simnet(root, epochs, max_len=64):
+    """multiview_simnet on the match corpus: the trigram SETS are
+    re-expressed as token-id bags (its native input), trained with its
+    in-batch rotated negatives, then scored on the corpus's explicit
+    (pos, neg) pairs under both PNR conventions — comparable to the
+    dssm row and the 0.916 topic-oracle bayes
+    (reference models/match/multiview-simnet/README.md)."""
+    import tempfile
+
+    data = os.path.join(root, "dssm")
+    meta = json.load(open(f"{data}/meta.json"))
+    tmp = tempfile.mkdtemp(prefix="mvs_")
+    os.makedirs(f"{tmp}/train", exist_ok=True)
+    with open(f"{data}/train/part-0.txt") as src, \
+            open(f"{tmp}/train/part-0.txt", "w") as dst:
+        for line in src:
+            cols = line.rstrip("\n").split("\t")
+            q = " ".join(str(x) for x in _trigram_tokens(cols[0])[:max_len])
+            t = " ".join(str(x) for x in _trigram_tokens(cols[1])[:max_len])
+            dst.write(f"{q}\t{t}\n")
+    t, _ = _train({
+        "runner.model": "match.multiview_simnet",
+        "runner.train_data_dir": f"{tmp}/train",
+        "runner.train_batch_size": 256,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.sparse_feature_number": meta["trigram_d"] + 1,
+        "hyper_parameters.max_len": max_len,
+        "hyper_parameters.embedding_dim": 64,
+        "hyper_parameters.hidden_size": 64,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs, eval_each=False)
+    # protocol leg: cosine(q, pos) vs cosine(q, neg) on the corpus's
+    # explicit test pairs, through tools/cal_pos_neg like the dssm row
+    from paddlerec_tpu.tools.cal_pos_neg import cal_pos_neg
+
+    params = jax.device_get(t.state.params)
+
+    def encode_batch(lines_tok):
+        n = len(lines_tok)
+        ids = np.zeros((n, 1, max_len), np.int32)
+        m = np.zeros((n, 1, max_len), np.float32)
+        for i, toks in enumerate(lines_tok):
+            toks = toks[:max_len]
+            ids[i, 0, :len(toks)] = toks
+            m[i, 0, :len(toks)] = 1.0
+        return ids, m
+
+    score_file = os.path.join(root, "mvs_scores.txt")
+    qid = 0
+    with open(f"{data}/test/part-0.txt") as f, open(score_file, "w") as out:
+        lines = [ln.rstrip("\n").split("\t") for ln in f]
+        for lo in range(0, len(lines), 256):
+            chunk = lines[lo:lo + 256]
+            qi, qm = encode_batch([_trigram_tokens(c[0]) for c in chunk])
+            pi, pm = encode_batch([_trigram_tokens(c[1]) for c in chunk])
+            ni, nm = encode_batch([_trigram_tokens(c[2]) for c in chunk])
+            qv, pv = t.model_def.module.apply({"params": params}, qi, qm, pi, pm)
+            _, nv = t.model_def.module.apply({"params": params}, qi, qm, ni, nm)
+            qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+            sp = (qn * (pv / np.linalg.norm(pv, axis=1, keepdims=True))).sum(1)
+            sn = (qn * (nv / np.linalg.norm(nv, axis=1, keepdims=True))).sum(1)
+            for i in range(len(chunk)):
+                out.write(f"q{qid}\t{float(sp[i]):.6f}\t1\n")
+                out.write(f"q{qid}\t{float(sn[i]):.6f}\t0\n")
+                qid += 1
+    pnr = cal_pos_neg(score_file)
+    total = max(pnr.get("pair_num", 0), 1)
+    ties_half = (pnr.get("pos_num", 0)
+                 + 0.5 * pnr.get("equal_num", 0)) / total
+    return {
+        "model": "match.multiview_simnet",
+        "cal_pos_neg_PNR_excl_ties": round(pnr.get("PNR", 0.0), 5),
+        "pnr_ties_half": round(ties_half, 5),
+        "bayes_pnr": meta["bayes_pnr"],
+        "gap_pnr": round(meta["bayes_pnr"] - ties_half, 5),
+    }
+
+
+def _mind_ranked_eval(t, data, meta, maxlen):
+    """HR@10/NDCG@10 under the ncf ranked protocol: history = the
+    user's train positives, candidates scored greedy-multi-interest
+    (max over capsules — the serving-side ANN convention)."""
+    from paddlerec_tpu.models.recall.mind.model import MINDNet
+
+    train = np.loadtxt(f"{data}/train/part-0.txt", delimiter=",",
+                       dtype=np.int64)
+    pos = train[train[:, 2] == 1]
+    hist_by_user = {}
+    for u, it, _ in pos:
+        hist_by_user.setdefault(int(u), []).append(int(it))
+    rows = np.loadtxt(f"{data}/test/part-0.txt", delimiter=",",
+                      dtype=np.int64)
+    group = meta["test_negs"] + 1
+    n_users = len(rows) // group
+    hist = np.zeros((n_users, maxlen), np.int32)
+    mask = np.zeros((n_users, maxlen), np.float32)
+    cands = np.zeros((n_users, group), np.int32)
+    labels = np.zeros((n_users, group), np.int64)
+    for g in range(n_users):
+        sl = rows[g * group:(g + 1) * group]
+        u = int(sl[0, 0])
+        h = hist_by_user.get(u, [])[-maxlen:]
+        hist[g, :len(h)] = h
+        mask[g, :len(h)] = 1.0
+        cands[g] = sl[:, 1]
+        labels[g] = sl[:, 2]
+    params = jax.device_get(t.state.params)
+    caps = np.asarray(t.model_def.module.apply(
+        {"params": params}, hist, mask, method=MINDNet.user_capsules))
+    emb = np.asarray(params["item_emb"]["embedding"])
+    cand_vecs = emb[cands]                       # (U, G, E)
+    scores = np.einsum("uke,uge->ukg", caps, cand_vecs).max(axis=1)
+    hr = ndcg = 0.0
+    for g in range(n_users):
+        rank = int((scores[g] > scores[g][labels[g] == 1][0]).sum())
+        if rank < 10:
+            hr += 1
+            ndcg += 1.0 / np.log2(rank + 2)
+    return hr / n_users, ndcg / n_users
+
+
+def run_mind(root, epochs):
+    """MIND under the ncf ranked protocol: capsule routing vs the refit
+    oracle on the SAME test groups (reference models/recall/mind/
+    README.md).  The corpus's planted preference is single-vector, so
+    this measures what multi-interest routing costs/retains when one
+    interest suffices — against the same achievable refit bound."""
+    import tempfile
+
+    data = os.path.join(root, "ncf")
+    meta = json.load(open(f"{data}/meta.json"))
+    maxlen = 20
+    # mind-format train file: user,item,timestamp over train POSITIVES
+    tmp = tempfile.mkdtemp(prefix="mind_")
+    os.makedirs(f"{tmp}/train", exist_ok=True)
+    train = np.loadtxt(f"{data}/train/part-0.txt", delimiter=",",
+                       dtype=np.int64)
+    pos = train[train[:, 2] == 1]
+    with open(f"{tmp}/train/part-0.txt", "w") as f:
+        seq = {}
+        for u, it, _ in pos:
+            ts = seq.get(int(u), 0)
+            f.write(f"{u},{it},{ts}\n")
+            seq[int(u)] = ts + 1
+    cfg = Config({
+        "runner.model": "recall.mind",
+        "runner.train_data_dir": f"{tmp}/train",
+        "runner.train_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 500,
+        "hyper_parameters.item_count": meta["num_items"],
+        "hyper_parameters.embedding_dim": 16,
+        "hyper_parameters.interest_num": 4,
+        "hyper_parameters.neg_samples": 64,
+        "hyper_parameters.maxlen": maxlen,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+        "hyper_parameters.optimizer.runtime_inject": True,
+    })
+    t = Trainer(cfg)
+    t.init_state()
+    lr = 2e-3
+    best_hr = best_ndcg = 0.0
+    for ep in range(epochs):
+        if ep >= epochs // 2:
+            lr *= 0.8
+            t.set_hyperparams(learning_rate=lr)
+        t.config["runner.epochs"] = 1
+        t.train()
+        if ep % 2 == 1 or ep == epochs - 1:
+            hr, ndcg = _mind_ranked_eval(t, data, meta, maxlen)
+            print(f"  epoch {ep}: HR@10={hr:.4f} NDCG@10={ndcg:.4f}",
+                  flush=True)
+            best_hr, best_ndcg = max(best_hr, hr), max(best_ndcg, ndcg)
+    return {
+        "model": "recall.mind",
+        "hr10": round(best_hr, 5), "ndcg10": round(best_ndcg, 5),
+        "oracle_hr10": meta["oracle_hr10"],
+        "oracle_ndcg10": meta["oracle_ndcg10"],
+        "refit_oracle_hr10": meta["refit_oracle_hr10"],
+        "refit_oracle_ndcg10": meta["refit_oracle_ndcg10"],
+        "gap_hr10_refit": round(meta["refit_oracle_hr10"] - best_hr, 5),
+    }
+
+
 RUNNERS = {"din": run_din, "mmoe": run_mmoe, "esmm": run_esmm,
-           "ncf": run_ncf, "dssm": run_dssm}
+           "ncf": run_ncf, "dssm": run_dssm,
+           "bst": run_bst, "dien": run_dien, "ple": run_ple,
+           "aitm": run_aitm, "multiview_simnet": run_multiview_simnet,
+           "mind": run_mind}
 
 
 def main():
