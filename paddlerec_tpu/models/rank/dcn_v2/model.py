@@ -25,11 +25,15 @@ class DCNv2Net(nn.Module):
     cross_num: int = 2
     is_stacked: bool = True
     use_low_rank_mixture: bool = True
-    # the reference's shipped Criteo repro value (config.yaml:48 'low_rank:
-    # 256') — >= the concat width, so the mixture is effectively
-    # full-rank; 32 (the paper's toy setting) measurably caps cross-form
-    # estimation (doc/benchmark.md round-4 cross corpus)
-    low_rank: int = 256
+    # matches the reference's default config.yaml (low_rank: 32; its
+    # config_bigdata.yaml ships 256).  Round 4 flipped this to 256 on
+    # the HYPOTHESIS that rank capped cross-form estimation; the round-5
+    # A/B disproved it: on the cross corpus EVERY mixture rank/init
+    # stalls at the additive wall (~0.672), and on the fm corpus rank 32
+    # beats 256 (0.7682 vs 0.7168-0.7217) — the tanh'd expert path, not
+    # the rank, is the binding constraint (doc/benchmark.md).  Set
+    # use_low_rank_mixture: false for cross-form-heavy data.
+    low_rank: int = 32
     num_experts: int = 4
 
     @nn.compact
@@ -69,6 +73,6 @@ class ModelDef(CTRModelDef):
             int(config.hyper("cross_num", 2)),
             bool(config.hyper("is_Stacked", True)),
             bool(config.hyper("use_low_rank_mixture", True)),
-            int(config.hyper("low_rank", 256)),
+            int(config.hyper("low_rank", 32)),
             int(config.hyper("num_experts", 4)),
         )

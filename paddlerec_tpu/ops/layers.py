@@ -213,6 +213,14 @@ class CrossNetMix(nn.Module):
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
         d = x0.shape[-1]
         r, e = self.low_rank, self.num_experts
+        # Deliberate init deviation from the reference's XavierNormal
+        # (net.py:240-265): a round-5 A/B on the criteo-scale fm corpus
+        # measured normal(1/sqrt(d)) at 0.7682 test AUC (rank 32) vs
+        # Xavier's 0.7321 — Xavier's fan_in = d*r shrinks the expert
+        # path ~4-11x with rank, starving the cross signal so training
+        # leans on the deep tower.  Rank-independent 1/sqrt(d) keeps the
+        # expert output O(1); both inits were also measured identical
+        # (additive wall) on the cross corpus (doc/benchmark.md).
         init = nn.initializers.normal(1.0 / jnp.sqrt(d))
         x = x0
         for layer in range(self.num_layers):

@@ -29,6 +29,10 @@ def summarize(output_dir: str = "test_tipc/output") -> dict:
     )):
         rec = json.load(open(path))
         model = rec.get("model", os.path.basename(path))
+        # cpu virtual-mesh records (benchmark_train_<m>.cpu.json) live
+        # beside the chip ones — key them separately, never collapse
+        if path.endswith(".cpu.json"):
+            model = f"{model}.cpu"
         records[model] = {
             "cells": rec.get("results", []),
             "skipped": rec.get("skipped", []),

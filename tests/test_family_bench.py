@@ -59,3 +59,38 @@ def test_driver_trains_each_family(corpora):
     res = qf.run_din(corpora, 2)
     assert 0.4 < res["test_auc"] <= 1.0
     assert "matched_probe_auc" in res
+
+
+def test_driver_trains_wave2_families(corpora):
+    """Round-5 runners: bst/dien (din corpus), ple (mmoe corpus), aitm
+    (esmm corpus), multiview_simnet (match corpus re-tokenized), mind
+    (ncf ranked protocol)."""
+    sys.path.insert(0, ROOT)
+    from tools_dev import quality_families as qf
+
+    res = qf.run_bst(corpora, 1)
+    assert 0.4 < res["test_auc"] <= 1.0
+    res = qf.run_dien(corpora, 1)
+    assert 0.4 < res["test_auc"] <= 1.0
+    res = qf.run_ple(corpora, 1)
+    assert 0.4 < res["test_auc_income"] <= 1.0
+    res = qf.run_aitm(corpora, 1)
+    assert 0.4 < res["test_auc_ctr"] <= 1.0
+    res = qf.run_multiview_simnet(corpora, 1)
+    assert 0.0 <= res["pnr_ties_half"] <= 1.0
+    res = qf.run_mind(corpora, 1)
+    assert 0.0 <= res["hr10"] <= 1.0
+    assert "refit_oracle_hr10" in res
+
+
+def test_mmoe_probe_decomposition(corpora):
+    """run_mmoe now reports the matched-form probe alongside the model;
+    the Fisher oracle (tools_dev/mmoe_oracle.py) replays the generator
+    exactly (full-scale run committed in doc/benchmark.md)."""
+    sys.path.insert(0, ROOT)
+    from tools_dev import quality_families as qf
+
+    res = qf.run_mmoe(corpora, 1)
+    for task in ("income", "marital"):
+        assert 0.4 < res[f"probe_auc_{task}"] <= 1.0
+        assert f"gap_to_probe_{task}" in res
