@@ -321,8 +321,5 @@ class DMRDataset:
             "price": a[:, 5 * T + 14].astype(np.float32),
             "pid": scalars[:, 15],
             "label": a[:, 5 * T + 16].astype(np.float32),
-            "mask": (
-                np.arange(n) < (valid if valid is not None else n)
-            ).astype(np.float32),
             "mask": np.ones(n, np.float32),
         }

@@ -212,3 +212,56 @@ def test_deeprec_masked_mse_ignores_unobserved():
     batch0 = {"ratings": np.zeros_like(batch["ratings"])}
     loss0, _ = md.train_forward(params, jax.tree.map(jnp.asarray, batch0))
     assert np.isfinite(float(loss0))
+
+
+def test_dmr_dataset_iterates_text_files(tmp_path):
+    """Regression: _batch built its mask from an undefined ``valid``
+    (shadowed by a duplicate dict key), so DMRDataset crashed on any
+    real file — example_batch never exercised the reader path."""
+    from paddlerec_tpu.models.rank.dmr.model import DMRDataset
+    md = make("rank.dmr")
+    v = md.vocab
+    T = 10
+    rng = np.random.RandomState(0)
+    scalar_vocabs = (
+        [v["user"]] + [v[n] for n in (
+            "cms_segid", "cms_group_id", "final_gender_code", "age_level",
+            "pvalue_level", "shopping_level", "occupation",
+            "new_user_class_level")]
+        + [v["adgroup_id"], v["cate"], v["campaign_id"], v["customer"],
+           v["brand"], 10, v["pid"]]  # col 14 is the float price
+    )
+    rows = []
+    for _ in range(5):
+        hist = (rng.randint(0, v["btag"], T).tolist()
+                + rng.randint(0, v["cate"], T).tolist()
+                + rng.randint(0, v["brand"], T).tolist())
+        masks = [1] * T + [0] * T  # all-zero match_mask must be safe
+        scalars = [rng.randint(0, s) for s in scalar_vocabs]
+        rows.append(",".join(map(str, hist + masks + scalars + [1])))
+    f = tmp_path / "part-0.txt"
+    f.write_text("\n".join(rows) + "\n")
+    ds = DMRDataset([str(f)], 2, T)
+    batches = list(ds)
+    assert [len(b["label"]) for b in batches] == [2, 2, 1]
+    params = md.init_params(jax.random.PRNGKey(0))
+    loss, aux = md.train_forward(
+        params, jax.tree.map(jnp.asarray, batches[0]))
+    assert np.isfinite(float(loss))
+
+
+def test_dsin_dataset_iterates_text_files(tmp_path):
+    from paddlerec_tpu.models.rank.dsin.model import DSINDataset
+    S, L = 5, 10
+    rng = np.random.RandomState(0)
+    lines = []
+    for _ in range(3):
+        sp = ",".join(map(str, rng.randint(0, 2, 15)))
+        sess = ",".join(map(str, rng.randint(0, 400, 2 * S * L)))
+        lines.append(f"1;{sp};0.5;{sess};2")
+    f = tmp_path / "part-0.txt"
+    f.write_text("\n".join(lines) + "\n")
+    ds = DSINDataset([str(f)], 2, S, L)
+    batches = list(ds)
+    assert batches[0]["sess_input"].shape == (2, 2 * S, L)
+    assert batches[1]["sess_input"].shape == (1, 2 * S, L)
