@@ -298,10 +298,16 @@ class DMRDataset:
                         yield self._batch(np.asarray(buf))
                         buf = []
         if buf:
-            yield self._batch(np.asarray(buf))
+            # zero-pad the tail to the full batch (mask marks real rows):
+            # one static shape per batch size — no tail recompile, dp
+            # sharding over the batch axis stays divisible
+            yield self._batch(np.asarray(buf), valid=len(buf), pad_to=bs)
 
-    def _batch(self, a):
+    def _batch(self, a, valid=None, pad_to=None):
         T = self.T
+        if pad_to and len(a) < pad_to:
+            a = np.concatenate(
+                [a, np.zeros((pad_to - len(a), a.shape[1]), a.dtype)])
         n = len(a)
         ids = a.astype(np.int64)
         scalars = ids[:, 5 * T:]
@@ -321,5 +327,6 @@ class DMRDataset:
             "price": a[:, 5 * T + 14].astype(np.float32),
             "pid": scalars[:, 15],
             "label": a[:, 5 * T + 16].astype(np.float32),
-            "mask": np.ones(n, np.float32),
+            "mask": (np.arange(n) < (n if valid is None else valid)
+                     ).astype(np.float32),
         }

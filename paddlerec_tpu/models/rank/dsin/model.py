@@ -214,15 +214,19 @@ class DSINDataset:
                         yield self._batch(buf)
                         buf = []
         if buf:
-            yield self._batch(buf)
+            # zero-pad the tail to the full batch (mask marks real rows)
+            # so every batch keeps ONE static shape — no tail recompile,
+            # and dp sharding over the batch axis stays divisible
+            yield self._batch(buf, pad_to=bs)
 
-    def _batch(self, rows):
-        n = len(rows)
+    def _batch(self, rows, pad_to=None):
+        n = pad_to or len(rows)
         sparse = np.zeros((n, 15), np.int64)
         price = np.zeros((n,), np.float32)
         sess = np.zeros((n, self.rows, self.cols), np.int64)
         sess_len = np.zeros((n,), np.int32)
         label = np.zeros((n,), np.float32)
+        valid = len(rows)
         for i, p in enumerate(rows):
             label[i] = float(p[0])
             sp = [int(v) for v in p[1].split(",")][:15]
@@ -232,8 +236,9 @@ class DSINDataset:
             ids = ids + [0] * (self.rows * self.cols - len(ids))
             sess[i] = np.asarray(ids).reshape(self.rows, self.cols)
             sess_len[i] = int(p[4])
+        mask = np.zeros(n, np.float32)
+        mask[:valid] = 1.0
         return {
             "sparse": sparse, "price": price, "sess_input": sess,
-            "sess_length": sess_len, "label": label,
-            "mask": np.ones(n, np.float32),
+            "sess_length": sess_len, "label": label, "mask": mask,
         }

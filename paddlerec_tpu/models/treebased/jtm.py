@@ -263,7 +263,8 @@ def model_weight_fn(
     return fn
 
 
-def jtm_train(config, rounds: Optional[int] = None):
+def jtm_train(config, rounds: Optional[int] = None,
+              return_trainer: bool = False):
     """The alternating JTM loop: train TDM under the current tree →
     re-learn the tree from the trained model → repeat.
 
@@ -271,6 +272,10 @@ def jtm_train(config, rounds: Optional[int] = None):
         runner.jtm_rounds (default 2)
         hyper_parameters.jtm_gap (default 7)
         hyper_parameters.jtm_sample_nums (default 4)
+
+    With ``return_trainer`` the live Trainer rides along as a third
+    element so callers can keep training (e.g. a final fit under the
+    last re-learned tree) or run retrieval with the trained params.
     """
     import jax
 
@@ -309,4 +314,6 @@ def jtm_train(config, rounds: Optional[int] = None):
         )
         # the node-id table keeps its size (total_nodes is unchanged for
         # a same-depth tree), so training continues with updated codes
+    if return_trainer:
+        return metrics, md.tree, trainer
     return metrics, md.tree

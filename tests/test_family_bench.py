@@ -94,3 +94,33 @@ def test_mmoe_probe_decomposition(corpora):
     for task in ("income", "marital"):
         assert 0.4 < res[f"probe_auc_{task}"] <= 1.0
         assert f"gap_to_probe_{task}" in res
+
+
+def test_driver_trains_wave3_families(corpora):
+    """Round-5 wave 3: dsin/dmr (din corpus converted to their native
+    session/alimama formats), tagspace/textcnn (order-signal text
+    corpus), tdm+jtm (retrieval HR vs exhaustive-scoring ceiling)."""
+    sys.path.insert(0, ROOT)
+    from tools_dev import quality_families as qf
+
+    res = qf.run_dsin(corpora, 1)
+    assert 0.3 < res["test_auc"] <= 1.0
+    res = qf.run_dmr(corpora, 1)
+    assert 0.3 < res["test_auc"] <= 1.0
+    res = qf.run_tagspace(corpora, 1)
+    assert 0.0 <= res["test_pnr"] <= 1.0
+    res = qf.run_textcnn(corpora, 1)
+    assert 0.3 < res["test_auc"] <= 1.0
+    res = qf.run_tdm(corpora, 1)
+    assert 0.0 <= res["tdm_hr10"] <= 1.0
+    assert 0.0 <= res["jtm_hr10"] <= 1.0
+    # exhaustive scoring can never lose to its own beam search by much
+    assert res["tdm_exhaustive_hr10"] >= res["tdm_hr10"] - 0.05
+
+
+def test_textcls_meta_has_order_signal(corpora):
+    meta = _meta(corpora, "textcls")
+    # the corpus certificate: order signal the unigram oracle cannot see
+    assert meta["unigram_nb_auc"] < meta["bayes_auc"] - 0.05
+    tdm = _meta(corpora, "tdm")
+    assert 0 < tdm["mle_oracle_hr10"] <= 1.0

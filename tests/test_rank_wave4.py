@@ -243,7 +243,9 @@ def test_dmr_dataset_iterates_text_files(tmp_path):
     f.write_text("\n".join(rows) + "\n")
     ds = DMRDataset([str(f)], 2, T)
     batches = list(ds)
-    assert [len(b["label"]) for b in batches] == [2, 2, 1]
+    # tail batch zero-pads to the full size; mask marks the real row
+    assert [len(b["label"]) for b in batches] == [2, 2, 2]
+    assert batches[-1]["mask"].tolist() == [1.0, 0.0]
     params = md.init_params(jax.random.PRNGKey(0))
     loss, aux = md.train_forward(
         params, jax.tree.map(jnp.asarray, batches[0]))
@@ -264,4 +266,6 @@ def test_dsin_dataset_iterates_text_files(tmp_path):
     ds = DSINDataset([str(f)], 2, S, L)
     batches = list(ds)
     assert batches[0]["sess_input"].shape == (2, 2 * S, L)
-    assert batches[1]["sess_input"].shape == (1, 2 * S, L)
+    # tail zero-pads to the full batch; mask marks the real row
+    assert batches[1]["sess_input"].shape == (2, 2 * S, L)
+    assert batches[1]["mask"].tolist() == [1.0, 0.0]

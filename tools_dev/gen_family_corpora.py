@@ -399,8 +399,217 @@ def gen_dssm(out, queries=24_000, test_queries=2000, topics=40, d=512,
     return meta
 
 
+# --------------------------------------------------------------------------
+def gen_textcls(out, rows=120_000, test_rows=20_000, vocab=1000,
+                min_len=16, max_len=48, alpha=0.04, beta=0.30,
+                delta=0.5, lex=150, seed=23):
+    """Planted text-classification corpus for the content-understanding
+    family (tagspace PNR / textcnn AUC; reference
+    models/contentunderstanding/{tagspace,textcnn}).
+
+    Generative model (both ceilings exactly computable):
+      * unigram mixture: token ~ (1-alpha)·q + alpha·r_y, q a Zipf base,
+        r_1 / r_0 uniform over disjoint class lexicons (unigram signal);
+      * first-order collocation: with prob beta (both classes) the next
+        token is prev±1 cyclic, direction +1 w.p. (1+delta)/2 under
+        class 1 and (1-delta)/2 under class 0 — ORDER signal no
+        bag-of-words model can see, each event carrying a bounded
+        log((1+delta)/(1-delta)) of evidence so Bayes stays off 1.0.
+    Bayes scorer: exact sequence log-likelihood ratio under the true
+    chain.  Unigram NB oracle: LLR under each class's exact stationary
+    token marginal — the no-order-information reference point the
+    window convs must beat.
+
+    Writes tagspace format (``tok tok ...<TAB>tag``) and textcnn senta
+    format (``tok ... seq_len label``) under out/{tagspace,textcnn}/.
+    """
+    rng = np.random.RandomState(seed)
+    q = 1.0 / np.arange(1, vocab + 1) ** 0.8
+    q /= q.sum()
+    r1 = np.zeros(vocab)
+    r1[rng.choice(vocab, lex, replace=False)] = 1.0 / lex
+    r0 = np.zeros(vocab)
+    pool = np.setdiff1d(np.arange(vocab), np.flatnonzero(r1))
+    r0[rng.choice(pool, lex, replace=False)] = 1.0 / lex
+    mix = np.stack([(1 - alpha) * q + alpha * r0,
+                    (1 - alpha) * q + alpha * r1])  # (2, V)
+    rho = np.array([(1 - delta) / 2, (1 + delta) / 2])  # P(dir=+1 | y)
+
+    def stationary(y):
+        m = mix[y].copy()
+        for _ in range(200):
+            m = (1 - beta) * mix[y] + beta * (
+                rho[y] * np.roll(m, 1) + (1 - rho[y]) * np.roll(m, -1))
+        return m
+
+    m_stat = np.stack([stationary(0), stationary(1)])
+    cum = np.cumsum(mix, axis=1)
+
+    def gen_chunk(m):
+        y = rng.randint(0, 2, m)
+        lens = rng.randint(min_len, max_len + 1, m)
+        toks = np.zeros((m, max_len), np.int64)
+        toks[:, 0] = np.searchsorted(cum[0], rng.rand(m))
+        c1 = rng.rand(m)
+        toks[y == 1, 0] = np.searchsorted(cum[1], c1[y == 1])
+        for t in range(1, max_len):
+            fresh = np.minimum(
+                np.searchsorted(cum[0], rng.rand(m)), vocab - 1)
+            f1 = np.minimum(
+                np.searchsorted(cum[1], rng.rand(m)), vocab - 1)
+            fresh = np.where(y == 1, f1, fresh)
+            direction = np.where(rng.rand(m) < rho[y], 1, -1)
+            colloc = (toks[:, t - 1] + direction) % vocab
+            toks[:, t] = np.where(rng.rand(m) < beta, colloc, fresh)
+        toks[:, 0] = np.minimum(toks[:, 0], vocab - 1)
+        return y, lens, toks
+
+    def loglik(toks, lens, y):
+        """Exact per-row sequence log-likelihood under class y."""
+        m, T = toks.shape
+        valid = np.arange(T)[None, :] < lens[:, None]
+        ll = np.log(mix[y, toks[:, 0]])
+        for t in range(1, T):
+            up = toks[:, t] == (toks[:, t - 1] + 1) % vocab
+            down = toks[:, t] == (toks[:, t - 1] - 1) % vocab
+            step = (1 - beta) * mix[y, toks[:, t]] + beta * (
+                rho[y] * up + (1 - rho[y]) * down)
+            ll += np.where(valid[:, t], np.log(step), 0.0)
+        return ll
+
+    os.makedirs(f"{out}/tagspace/train", exist_ok=True)
+    os.makedirs(f"{out}/tagspace/test", exist_ok=True)
+    os.makedirs(f"{out}/textcnn/train", exist_ok=True)
+    os.makedirs(f"{out}/textcnn/test", exist_ok=True)
+    stats = {}
+    for split, n in (("train", rows), ("test", test_rows)):
+        f_tag = open(f"{out}/tagspace/{split}/part-0.txt", "w")
+        f_cnn = open(f"{out}/textcnn/{split}/part-0.txt", "w")
+        done = 0
+        llrs, nb_llrs, ys = [], [], []
+        while done < n:
+            m = min(20_000, n - done)
+            y, lens, toks = gen_chunk(m)
+            if split == "test":
+                llrs.append(loglik(toks, lens, np.ones(m, int))
+                            - loglik(toks, lens, np.zeros(m, int)))
+                lm = np.log(m_stat[1] / m_stat[0])
+                valid = np.arange(max_len)[None, :] < lens[:, None]
+                nb_llrs.append((lm[toks] * valid).sum(1))
+                ys.append(y)
+            for i in range(m):
+                s = " ".join(map(str, toks[i, : lens[i]]))
+                f_tag.write(f"{s}\t{y[i]}\n")
+                f_cnn.write(f"{s} {lens[i]} {y[i]}\n")
+            done += m
+        f_tag.close()
+        f_cnn.close()
+        if split == "test":
+            llr = np.concatenate(llrs)
+            nb = np.concatenate(nb_llrs)
+            yy = np.concatenate(ys)
+            both = np.concatenate([llr, -llr])
+            lab = np.concatenate([yy, 1 - yy])
+            nb_both = np.concatenate([nb, -nb])
+            stats = {
+                "bayes_auc": round(_auc(llr, yy), 5),
+                "unigram_nb_auc": round(_auc(nb, yy), 5),
+                # tagspace's streaming pnr pools pos/neg tag sims across
+                # instances: score(text, tag) = ±LLR
+                "bayes_pnr": round(_auc(both, lab), 5),
+                "unigram_nb_pnr": round(_auc(nb_both, lab), 5),
+            }
+    meta = {
+        "family": "textcls", "vocab": vocab, "rows": rows,
+        "test_rows": test_rows, "min_len": min_len, "max_len": max_len,
+        "alpha": alpha, "beta": beta, "lex": lex, "seed": seed, **stats,
+    }
+    json.dump(meta, open(f"{out}/meta.json", "w"))
+    return meta
+
+
+# --------------------------------------------------------------------------
+def gen_tdm(out, users=4000, test_users=1000, items=1500, k=8,
+            hist_len=30, targets_per_user=5, tau=3.0, seed=31):
+    """Planted retrieval corpus for the treebased family (TDM/JTM;
+    reference models/treebased/{tdm,jtm}).
+
+    Users and items carry latent vectors; every interaction (history
+    events and the held-out target) is an independent draw from
+    softmax(tau·u·z).  Lines are TDM's native ``hist... | target``.
+
+    Ceilings written to meta.json:
+      * oracle_hr10 — P(target in the TRUE top-10 by u·z): noise floor
+        of the generator, unreachable without knowing u;
+      * mle_oracle_hr10 — top-10 by the MLE of u from the 30-event
+        history under the true item vectors: what a perfect estimator
+        can get from exactly the data the model sees.
+    """
+    rng = np.random.RandomState(seed)
+    z = rng.randn(items, k).astype(np.float64) / np.sqrt(k)
+    n_all = users + test_users
+    u = rng.randn(n_all, k).astype(np.float64)
+
+    def draws(uv, n_draw):
+        s = tau * (uv @ z.T)
+        s -= s.max(1, keepdims=True)
+        p = np.exp(s)
+        p /= p.sum(1, keepdims=True)
+        cum = np.cumsum(p, 1)
+        r = rng.rand(len(uv), n_draw)
+        return np.stack(
+            [np.searchsorted(cum[i], r[i]).clip(0, items - 1)
+             for i in range(len(uv))]), p
+
+    os.makedirs(f"{out}/train", exist_ok=True)
+    os.makedirs(f"{out}/test", exist_ok=True)
+    hist_all, p_all = draws(u, hist_len)
+    with open(f"{out}/train/part-0.txt", "w") as f:
+        tgts, _ = draws(u[:users], targets_per_user)
+        for i in range(users):
+            h = " ".join(map(str, hist_all[i]))
+            for t in tgts[i]:
+                f.write(f"{h} | {t}\n")
+    test_tgt, p_test = draws(u[users:], 1)
+    test_tgt = test_tgt[:, 0]
+    with open(f"{out}/test/part-0.txt", "w") as f:
+        for i in range(test_users):
+            f.write(f"{' '.join(map(str, hist_all[users + i]))} "
+                    f"| {test_tgt[i]}\n")
+
+    # true-score oracle
+    top10 = np.argsort(-p_test, 1)[:, :10]
+    oracle_hr = float((top10 == test_tgt[:, None]).any(1).mean())
+
+    # history-MLE oracle: u_hat = argmax Σ_j log softmax(tau u·z)[hist_j]
+    hist_te = hist_all[users:]
+    u_hat = np.zeros((test_users, k))
+    zsum = z[hist_te].sum(1)  # (Nt, k)
+    lr = 0.5 / hist_len
+    for _ in range(300):
+        s = tau * (u_hat @ z.T)
+        s -= s.max(1, keepdims=True)
+        p = np.exp(s)
+        p /= p.sum(1, keepdims=True)
+        grad = tau * (zsum - hist_len * (p @ z))
+        u_hat += lr * grad
+    mle_top10 = np.argsort(-(u_hat @ z.T), 1)[:, :10]
+    mle_hr = float((mle_top10 == test_tgt[:, None]).any(1).mean())
+
+    meta = {
+        "family": "tdm", "users": users, "test_users": test_users,
+        "items": items, "k": k, "hist_len": hist_len, "tau": tau,
+        "targets_per_user": targets_per_user, "seed": seed,
+        "oracle_hr10": round(oracle_hr, 5),
+        "mle_oracle_hr10": round(mle_hr, 5),
+    }
+    json.dump(meta, open(f"{out}/meta.json", "w"))
+    return meta
+
+
 GENERATORS = {"din": gen_din, "mmoe": gen_mmoe, "esmm": gen_esmm,
-              "ncf": gen_ncf, "dssm": gen_dssm}
+              "ncf": gen_ncf, "dssm": gen_dssm, "textcls": gen_textcls,
+              "tdm": gen_tdm}
 
 
 def main():
@@ -416,6 +625,9 @@ def main():
         "esmm": dict(rows=3000, test_rows=600, vocab=2300),
         "ncf": dict(users=50, items=100, pos_per_user=5, test_negs=20),
         "dssm": dict(queries=300, test_queries=60, d=128, topics=8),
+        "textcls": dict(rows=2000, test_rows=500, vocab=300, lex=60),
+        "tdm": dict(users=80, test_users=40, items=64, hist_len=12,
+                    targets_per_user=2),
     }
     for fam in args.families:
         kw = small[fam] if args.small else {}

@@ -24,7 +24,8 @@ from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 
 EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8,
           "bst": 16, "dien": 16, "ple": 10, "aitm": 10,
-          "multiview_simnet": 8, "mind": 24}
+          "multiview_simnet": 8, "mind": 24, "dsin": 16, "dmr": 12,
+          "tagspace": 10, "textcnn": 10, "tdm": 8}
 
 
 def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
@@ -735,11 +736,351 @@ def run_mind(root, epochs):
     }
 
 
+def _convert_din_to_dsin(data, out, sess_count=4, sess_len=10):
+    """din corpus → DSIN native text (model.py DSINDataset): sessions are
+    consecutive length-10 windows of the history (the corpus has no
+    session boundaries; windowing is the sessionization), all cate/brand
+    ids shifted +1 because id 0 is DSIN's in-session pad."""
+    if os.path.exists(out):
+        return
+    os.makedirs(f"{out}/train", exist_ok=True)
+    os.makedirs(f"{out}/test", exist_ok=True)
+    for split in ("train", "test"):
+        with open(f"{data}/{split}/part-0.txt") as fin, \
+                open(f"{out}/{split}/part-0.txt", "w") as fout:
+            for line in fin:
+                h, c, tgt, tgt_cat, y = line.rstrip("\n").split(";")
+                items = [int(v) + 1 for v in h.split()][: sess_count * sess_len]
+                cats = [int(v) + 1 for v in c.split()][: sess_count * sess_len]
+                sess = [0] * (2 * sess_count * sess_len)
+                for j, (it, ct) in enumerate(zip(items, cats)):
+                    s, pos = divmod(j, sess_len)
+                    sess[(2 * s) * sess_len + pos] = ct       # cate row
+                    sess[(2 * s + 1) * sess_len + pos] = it   # brand row
+                n_sess = (len(items) + sess_len - 1) // sess_len
+                sparse = [0] * 15
+                sparse[13] = int(tgt_cat) + 1   # cate field = target cat
+                sparse[14] = int(tgt) + 1       # brand field = target item
+                fout.write(
+                    f"{y};{','.join(map(str, sparse))};0.0;"
+                    f"{','.join(map(str, sess))};{n_sess}\n")
+
+
+def run_dsin(root, epochs):
+    """Sessionized form on the attention-necessary corpus: the in-session
+    transformer is target-blind and pools by masked mean, so per-event
+    attention degrades to per-SESSION attention — how much of the gap to
+    the event-attention probe does that cost?
+    (reference models/rank/dsin/README.md)"""
+    data = os.path.join(root, "din")
+    meta = json.load(open(f"{data}/meta.json"))
+    fmt = os.path.join(root, "dsin_fmt")
+    _convert_din_to_dsin(data, fmt)
+    vocab1 = {f"hyper_parameters.{k}_size": 1 for k in (
+        "user", "adgroup", "pid", "cms_segid", "cms_group", "final_gender",
+        "age_level", "pvalue_level", "shopping_level", "occupation",
+        "new_user_class_level", "campaign", "customer")}
+    _, best = _train(dict({
+        "runner.model": "rank.dsin",
+        "runner.train_data_dir": f"{fmt}/train",
+        "runner.test_data_dir": f"{fmt}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.cate_size": meta["cats"] + 1,
+        "hyper_parameters.brand_size": meta["items"] + 1,
+        "hyper_parameters.sess_count": 4,
+        "hyper_parameters.sess_max_length": 10,
+        "hyper_parameters.feat_embed_size": 8,
+        "hyper_parameters.att_embedding_size": 8,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, **vocab1), epochs)
+    auc = best.get("auc", 0.0)
+    return {
+        "model": "rank.dsin", "test_auc": round(auc, 5),
+        "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "beats_sumpool_by": round(auc - meta["sumpool_auc"], 5),
+        "gap_to_bayes": round(meta["bayes_auc"] - auc, 5),
+    }
+
+
+def _convert_din_to_dmr(data, out, T=40):
+    """din corpus → DMR alimama text (model.py DMRDataset): histories
+    right-aligned (DMR reads position T-1 as the most recent event),
+    btag=1 for real events, match_mask = history cate equals the target
+    cate (the reference's semantics); ids +1, 0 = pad."""
+    if os.path.exists(out):
+        return
+    os.makedirs(f"{out}/train", exist_ok=True)
+    os.makedirs(f"{out}/test", exist_ok=True)
+    for split in ("train", "test"):
+        with open(f"{data}/{split}/part-0.txt") as fin, \
+                open(f"{out}/{split}/part-0.txt", "w") as fout:
+            for line in fin:
+                h, c, tgt, tgt_cat, y = line.rstrip("\n").split(";")
+                items = [int(v) + 1 for v in h.split()][-T:]
+                cats = [int(v) + 1 for v in c.split()][-T:]
+                pad = T - len(items)
+                btag = [0] * pad + [1] * len(items)
+                cate = [0] * pad + cats
+                brand = [0] * pad + items
+                mask = [0] * pad + [1] * len(items)
+                tcat = int(tgt_cat) + 1
+                match = [0] * pad + [int(cc == tcat) for cc in cats]
+                scalars = [0] * 17
+                scalars[10] = tcat           # cate_id
+                scalars[13] = int(tgt) + 1   # brand
+                scalars[16] = int(y)         # label
+                fout.write(",".join(map(
+                    str, btag + cate + brand + mask + match + scalars))
+                    + "\n")
+
+
+def run_dmr(root, epochs):
+    """DMR's item-to-item attention is exactly the planted form (target
+    query over history events); its user-to-item match head rides the
+    same corpus.  (reference models/rank/dmr/README.md)"""
+    data = os.path.join(root, "din")
+    meta = json.load(open(f"{data}/meta.json"))
+    fmt = os.path.join(root, "dmr_fmt")
+    _convert_din_to_dmr(data, fmt, T=meta["max_len"])
+    vocab1 = {f"hyper_parameters.{k}_size": 1 for k in (
+        "user", "cms_segid", "cms_group_id", "final_gender_code",
+        "age_level", "pvalue_level", "shopping_level", "occupation",
+        "new_user_class_level", "adgroup_id", "campaign_id", "customer")}
+    _, best = _train(dict({
+        "runner.model": "rank.dmr",
+        "runner.train_data_dir": f"{fmt}/train",
+        "runner.test_data_dir": f"{fmt}/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.cate_size": meta["cats"] + 1,
+        "hyper_parameters.brand_size": meta["items"] + 1,
+        "hyper_parameters.btag_size": 2,
+        "hyper_parameters.pid_size": 1,
+        "hyper_parameters.history_length": meta["max_len"],
+        "hyper_parameters.main_embedding_size": 16,
+        "hyper_parameters.other_embedding_size": 8,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, **vocab1), epochs)
+    auc = best.get("auc", 0.0)
+    return {
+        "model": "rank.dmr", "test_auc": round(auc, 5),
+        "bayes_auc": meta["bayes_auc"], "sumpool_auc": meta["sumpool_auc"],
+        "beats_sumpool_by": round(auc - meta["sumpool_auc"], 5),
+        "gap_to_bayes": round(meta["bayes_auc"] - auc, 5),
+    }
+
+
+def run_tagspace(root, epochs):
+    """Margin-ranking tag match on the order-signal text corpus: does the
+    windowed conv + max-pool text encoder beat the bag-of-words ceiling?
+    (reference models/contentunderstanding/tagspace/README.md)"""
+    data = os.path.join(root, "textcls")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "contentunderstanding.tagspace",
+        "runner.train_data_dir": f"{data}/tagspace/train",
+        "runner.test_data_dir": f"{data}/tagspace/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.vocab_text_size": meta["vocab"],
+        "hyper_parameters.vocab_tag_size": 2,
+        "hyper_parameters.neg_size": 1,
+        "hyper_parameters.max_len": meta["max_len"],
+        "hyper_parameters.emb_dim": 32,
+        "hyper_parameters.hid_dim": 128,
+        "hyper_parameters.win_size": 5,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, epochs)
+    pnr = best.get("pnr", 0.0)
+    return {
+        "model": "contentunderstanding.tagspace", "test_pnr": round(pnr, 5),
+        "bayes_pnr": meta["bayes_pnr"],
+        "unigram_nb_pnr": meta["unigram_nb_pnr"],
+        "beats_unigram_by": round(pnr - meta["unigram_nb_pnr"], 5),
+        "gap_to_bayes": round(meta["bayes_pnr"] - pnr, 5),
+    }
+
+
+def run_textcnn(root, epochs):
+    """Multi-window TextCNN on the same corpus: filter sizes (1,2,3) can
+    see the ±1 collocation direction the unigram oracle cannot.
+    (reference models/contentunderstanding/textcnn/README.md)"""
+    data = os.path.join(root, "textcls")
+    meta = json.load(open(f"{data}/meta.json"))
+    _, best = _train({
+        "runner.model": "contentunderstanding.textcnn",
+        "runner.train_data_dir": f"{data}/textcnn/train",
+        "runner.test_data_dir": f"{data}/textcnn/test",
+        "runner.train_batch_size": 512,
+        "runner.infer_batch_size": 512,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "runner.shuffle_files": True,
+        "hyper_parameters.dict_dim": meta["vocab"],
+        "hyper_parameters.max_len": meta["max_len"],
+        "hyper_parameters.emb_dim": 64,
+        "hyper_parameters.cnn_dim": 64,
+        "hyper_parameters.hid_dim": 64,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }, epochs)
+    auc = best.get("auc", 0.0)
+    return {
+        "model": "contentunderstanding.textcnn", "test_auc": round(auc, 5),
+        "bayes_auc": meta["bayes_auc"],
+        "unigram_nb_auc": meta["unigram_nb_auc"],
+        "beats_unigram_by": round(auc - meta["unigram_nb_auc"], 5),
+        "gap_to_bayes": round(meta["bayes_auc"] - auc, 5),
+    }
+
+
+def _tdm_parse_test(test_file):
+    hists, tgts = [], []
+    with open(test_file) as f:
+        for line in f:
+            left, _, right = line.partition("|")
+            hists.append([int(x) for x in left.split()])
+            tgts.append(int(right.split()[0]))
+    return np.asarray(hists, np.int64), np.asarray(tgts)
+
+
+def _tdm_hr(md, params, hists, tgts, topk=10, beam=40, chunk=250):
+    """Beam-search retrieval HR@topk over the test users."""
+    import jax.numpy as jnp
+    item_to_code = {int(i): int(c)
+                    for i, c in zip(md.tree.item_ids, md.tree.codes)}
+    hit = 0
+    for c0 in range(0, len(hists), chunk):
+        h = hists[c0:c0 + chunk]
+        codes = np.vectorize(item_to_code.get)(h)
+        got = md.retrieve(params, jnp.asarray(codes),
+                          jnp.ones(h.shape, np.float32), topk=topk,
+                          beam=beam)
+        hit += sum(int(t in row)
+                   for t, row in zip(tgts[c0:c0 + chunk], got))
+    return hit / len(hists)
+
+
+def _tdm_exhaustive_hr(md, params, hists, tgts, topk=10, chunk=250):
+    """Score EVERY leaf with the same trained net (no tree, no beam):
+    the model-quality ceiling that isolates beam/tree retrieval loss."""
+    import jax
+    import jax.numpy as jnp
+    item_to_code = {int(i): int(c)
+                    for i, c in zip(md.tree.item_ids, md.tree.codes)}
+    leaf_codes = jnp.asarray(md.tree.codes)
+    leaf_items = np.asarray(md.tree.item_ids)
+
+    @jax.jit
+    def score_all(p, h, m):
+        logits = md.module.apply(
+            {"params": p}, h, m,
+            jnp.tile(leaf_codes[None], (h.shape[0], 1)))
+        return jax.nn.softmax(logits, -1)[..., 1]
+
+    hit = 0
+    for c0 in range(0, len(hists), chunk):
+        h = hists[c0:c0 + chunk]
+        codes = jnp.asarray(np.vectorize(item_to_code.get)(h))
+        probs = np.asarray(score_all(
+            params, codes, jnp.ones(h.shape, np.float32)))
+        top = leaf_items[np.argsort(-probs, 1)[:, :topk]]
+        hit += int((top == tgts[c0:c0 + chunk, None]).any(1).sum())
+    return hit / len(hists)
+
+
+def run_tdm(root, epochs):
+    """Tree-based retrieval certification (reference models/treebased/
+    {tdm,jtm}): train TDM over a signal-blind random-category tree,
+    measure beam HR@10 vs the same net scoring every leaf exhaustively
+    (tree/beam loss) and vs the corpus oracles (model loss); then run the
+    JTM alternation and measure how much tree re-learning recovers."""
+    import jax
+    from paddlerec_tpu.models.treebased.jtm import jtm_train
+    from paddlerec_tpu.models.treebased.tree import TreeIndex
+
+    data = os.path.join(root, "tdm")
+    meta = json.load(open(f"{data}/meta.json"))
+    items = meta["items"]
+    rng = np.random.RandomState(5)
+    init_tree = TreeIndex.build_by_category(
+        np.arange(items, dtype=np.int64), rng.randint(0, 64, items))
+    tree_path = os.path.join(root, "tdm_tree_init")
+    init_tree.save(tree_path)
+    hists, tgts = _tdm_parse_test(f"{data}/test/part-0.txt")
+
+    H = meta["hist_len"]  # fea_groups must tile the corpus history
+    fg = f"{H // 3},{H // 3},{H - 2 * (H // 3)}"
+    cfg = {
+        "runner.model": "treebased.tdm",
+        "runner.train_data_dir": f"{data}/train",
+        "runner.train_batch_size": 256,
+        "runner.epochs": 1,
+        "runner.print_interval": 500,
+        "runner.shuffle_files": True,
+        "hyper_parameters.tree_path": tree_path,
+        "hyper_parameters.total_nodes": init_tree.total_nodes,
+        "hyper_parameters.fea_groups": fg,
+        "hyper_parameters.node_emb_size": 24,
+        "hyper_parameters.neg_sampling_list": 4,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 2e-3,
+    }
+    t, _ = _train(cfg, epochs, eval_each=False)
+    params = jax.device_get(t.state.params)
+    tdm_hr = _tdm_hr(t.model_def, params, hists, tgts)
+    tdm_ex = _tdm_exhaustive_hr(t.model_def, params, hists, tgts)
+    print(f"  tdm: beam HR@10 {tdm_hr:.4f}, exhaustive {tdm_ex:.4f}",
+          flush=True)
+
+    # JTM alternation: train → re-learn tree → … → final fit under the
+    # last tree (retrieval must score codes the params were trained on)
+    jcfg = Config(dict(cfg, **{
+        "runner.epochs": max(epochs // 2, 1),
+        "runner.jtm_rounds": 2,
+        "hyper_parameters.jtm_gap": 7,
+        "hyper_parameters.jtm_sample_nums": 4,
+    }))
+    _, _, jt = jtm_train(jcfg, return_trainer=True)
+    jt.train()
+    jparams = jax.device_get(jt.state.params)
+    jtm_hr = _tdm_hr(jt.model_def, jparams, hists, tgts)
+    jtm_ex = _tdm_exhaustive_hr(jt.model_def, jparams, hists, tgts)
+    print(f"  jtm: beam HR@10 {jtm_hr:.4f}, exhaustive {jtm_ex:.4f}",
+          flush=True)
+    return {
+        "model": "treebased.tdm+jtm",
+        "tdm_hr10": round(tdm_hr, 5),
+        "tdm_exhaustive_hr10": round(tdm_ex, 5),
+        "jtm_hr10": round(jtm_hr, 5),
+        "jtm_exhaustive_hr10": round(jtm_ex, 5),
+        "mle_oracle_hr10": meta["mle_oracle_hr10"],
+        "true_oracle_hr10": meta["oracle_hr10"],
+        "beam_loss_tdm": round(tdm_ex - tdm_hr, 5),
+        "jtm_gain": round(jtm_hr - tdm_hr, 5),
+    }
+
+
 RUNNERS = {"din": run_din, "mmoe": run_mmoe, "esmm": run_esmm,
            "ncf": run_ncf, "dssm": run_dssm,
            "bst": run_bst, "dien": run_dien, "ple": run_ple,
            "aitm": run_aitm, "multiview_simnet": run_multiview_simnet,
-           "mind": run_mind}
+           "mind": run_mind, "dsin": run_dsin, "dmr": run_dmr,
+           "tagspace": run_tagspace, "textcnn": run_textcnn,
+           "tdm": run_tdm}
 
 
 def main():
