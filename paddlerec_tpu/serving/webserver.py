@@ -28,6 +28,8 @@ class RecService:
 
         self.name = name
         self.model_def, self.params = load_exported(export_dir)
+        # pin on device once — host leaves would re-transfer every request
+        self.params = jax.device_put(self.params)
         self._infer = jax.jit(self.model_def.infer_forward)
         if warmup:
             # pay the jit compile before the first real request

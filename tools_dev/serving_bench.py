@@ -18,6 +18,7 @@ This script measures the same two serving regimes on the real chip:
 
 usage: python tools_dev/serving_bench.py [out_json]
 """
+import faulthandler
 import json
 import os
 import shutil
@@ -25,6 +26,8 @@ import socket
 import sys
 import tempfile
 import time
+
+faulthandler.dump_traceback_later(300, repeat=True)  # hang diagnosis
 
 import numpy as np
 
@@ -47,6 +50,10 @@ from paddlerec_tpu.tools.predict import run_predict  # noqa: E402
 
 VOCAB = 1_000_001
 DIM = 9
+# deepfm's fused table is logical width DIM+1, stored packed
+from paddlerec_tpu.ops.packed_embedding import sub_width  # noqa: E402
+SUBW = sub_width(DIM + 1)
+PACK = 128 // SUBW
 FC = [512, 256, 128, 32]
 BATCHES = (256, 2048, 8192)
 ROWS = 60_000
@@ -62,6 +69,10 @@ def pctl(lat_s):
 
 def main():
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/serving_bench.json"
+    # the export's device_get of the full table rides the tunnel's slow
+    # downlink (minutes) — reuse the deterministic fresh-init artifact
+    # across bench iterations
+    cache = "/tmp/serving_bench_export_cache"
     tmp = tempfile.mkdtemp(prefix="serving_bench_")
     data_dir = os.path.join(tmp, "data")
     write_criteo_sample(data_dir, num_lines=ROWS, num_files=1, vocab=VOCAB)
@@ -75,8 +86,13 @@ def main():
         "hyper_parameters.optimizer.class": "Adam",
         "hyper_parameters.optimizer.learning_rate": 1e-3,
     })
-    export_dir = os.path.join(tmp, "export")
-    export_model(cfg, export_dir)  # fresh params: latency is shape-driven
+    if os.path.exists(os.path.join(cache, "config.json")):
+        export_dir = cache
+    else:
+        export_dir = os.path.join(tmp, "export")
+        export_model(cfg, export_dir)  # fresh params: shape-driven latency
+        shutil.copytree(export_dir, cache)
+        export_dir = cache
     report = {"model": "rank.deepfm", "vocab": VOCAB, "dim": DIM,
               "device": str(jax.devices()[0]), "rows": ROWS, "legs": []}
 
@@ -98,9 +114,15 @@ def main():
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     proc = start_cube_server(port, paths)
-    client = RemoteCubeClient([("127.0.0.1", port)])
+    try:
+        client = RemoteCubeClient([f"127.0.0.1:{port}"])
+    except Exception:
+        proc.kill()  # never leak the daemon on a failed connect
+        raise
 
-    dense_params = {k: v for k, v in params2.items() if k != "embedding"}
+    dense_params = jax.device_put(
+        {k: v for k, v in params2.items() if k != "embedding"})
+    params2 = jax.device_put(params2)
 
     @jax.jit
     def dense_side(dp, fused, dense):
@@ -115,9 +137,14 @@ def main():
         return jax.nn.sigmoid(first + second + deep)
 
     infer_full = jax.jit(model_def2.infer_forward)
+
+    from paddlerec_tpu.data.schema import schema_from_config
+    from paddlerec_tpu.data.slot_reader import SlotDataset, list_data_files
+    schema = schema_from_config(model_def2.config)
     try:
         for bs in BATCHES:
-            ds = model_def2.make_dataset(data_dir, bs)
+            ds = SlotDataset(list_data_files(data_dir), schema, bs,
+                             drop_last=True)
             lat, seek_lat, total = [], [], 0
             checked = False
             for i, batch in enumerate(ds):
@@ -125,10 +152,19 @@ def main():
                     continue
                 t0 = time.time()
                 ids = np.asarray(batch["sparse"]).reshape(-1)
-                uids, inv = np.unique(ids, return_inverse=True)
+                # the exported table is the PACKED physical layout
+                # (ops/packed_embedding.py: pack logical rows per
+                # 128-lane row) — the cube serves physical rows (fewer
+                # keys, wider values: the right serving unit), and the
+                # client unpacks the lane window
+                phys = ids // PACK
+                sub = ids % PACK
+                uids, inv = np.unique(phys, return_inverse=True)
                 rows = client.seek(uids)
                 t_seek = time.time() - t0
-                fused = rows[inv].reshape(bs, -1, DIM + 1)
+                fused = rows[inv].reshape(-1, PACK, SUBW)[
+                    np.arange(len(ids)), sub, : DIM + 1
+                ].reshape(bs, -1, DIM + 1)
                 preds = dense_side(dense_params,
                                    jnp.asarray(fused),
                                    jnp.asarray(batch["dense"]))
