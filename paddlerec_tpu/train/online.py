@@ -861,6 +861,16 @@ class OnlineTrainer(Trainer):
                 self.config.runner("resident_max_gb", 8.0)
             ) * (1 << 30)
             staged, staged_bytes = [], 0
+            # bound the in-flight dispatch queue: fully async dispatch
+            # would enqueue the WHOLE pass behind one dependency chain,
+            # and a transport stall then wedges silently with thousands
+            # of executions pending — sync on the metric chain every N
+            # superbatches (~1M rows at the defaults; one RTT, free when
+            # healthy) so progress is observable and the queue stays
+            # shallow
+            sync_every = int(self.config.runner(
+                "infer_sync_superbatches", 8))
+            n_super = 0
             metric_state = self._init_metric_state()
             for batch in self._device_batches(self._observing(dataset),
                                               allow_super=True):
@@ -869,6 +879,14 @@ class OnlineTrainer(Trainer):
                     metric_state, _ = self._infer_step_super(
                         self.state, sb, jnp.int32(idx), metric_state
                     )
+                    if idx == 0:
+                        n_super += 1
+                        if sync_every and n_super % sync_every == 0:
+                            jax.block_until_ready(metric_state)
+                            logger.info(
+                                f"[day {day} pass {pass_id}] online eval "
+                                f"staged superbatch {n_super}"
+                            )
                     if staged is not None and idx == 0:
                         staged_bytes += sum(
                             int(v.nbytes) for v in jax.tree.leaves(sb)
