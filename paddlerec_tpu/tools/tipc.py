@@ -362,6 +362,12 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
               f"{len(regressions)} cell(s) regressed "
               f">{REGRESSION_TOLERANCE:.0%}")
         return False
+    if not results and previous:
+        # an all-cells-failed run (missing fixture data, broken env)
+        # must never clobber a baseline that has real measurements
+        print(f"benchmark_train {model_name}: no cells measured — "
+              f"keeping existing baseline {record_path}")
+        return False
     if os.path.abspath(record_path) != os.path.abspath(run_path):
         with open(record_path, "w") as f:
             json.dump(record, f)
