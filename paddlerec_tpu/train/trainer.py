@@ -55,8 +55,31 @@ if not logger.handlers:
     logger.propagate = False
 
 
+def _ensure_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable default so
+    every CLI entry (train/infer/tipc/online) reuses compiled programs
+    across invocations — a fresh XLA compile of a fused train step costs
+    tens of seconds, and on remote-attached devices the compile RPCs ride
+    the slow control link.  Opt out with PADDLEREC_COMPILE_CACHE=off;
+    override the directory with the same variable."""
+    want = os.environ.get("PADDLEREC_COMPILE_CACHE", "")
+    if want.lower() in ("off", "0", "none"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return  # caller already chose one
+    path = want or os.path.join(
+        os.path.expanduser("~"), ".cache", "paddlerec_tpu", "jaxcache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unwritable home: run uncached rather than die
+        pass
+
+
 class Trainer:
     def __init__(self, config: Config, model_def=None, mesh=None):
+        _ensure_compile_cache()
         self.config = config
         # runner.sync_mode: geo — k-step local training with periodic
         # cross-process parameter averaging (reference PS-geo,
