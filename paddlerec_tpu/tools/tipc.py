@@ -151,7 +151,8 @@ RECORD_DIR = "test_tipc/benchmark_records"  # tracked: committed per round
 
 def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
                   record_dir: str = RECORD_DIR,
-                  matrix_override: Dict[str, str] | None = None):
+                  matrix_override: Dict[str, str] | None = None,
+                  rebaseline: bool = False):
     """benchmark_train mode: the reference's perf-CI matrix
     (test_tipc/benchmark_train.sh + train_benchmark_params — batch /
     device_num sweep recording ips per combination, diffed
@@ -355,6 +356,16 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
             and os.path.abspath(run_path) == os.path.abspath(record_path)):
         with open(run_path, "w") as f:
             json.dump(record, f)
+    if regressions and rebaseline:
+        # explicit operator action (the perf-CI re-baseline after an
+        # environment change): accept this run as the new baseline but
+        # keep the regression list in the record so the history shows
+        # WHICH cells were re-baselined downward and from what
+        record["rebaselined"] = regressions
+        record["regressions"] = []
+        print(f"benchmark_train {model_name}: REBASELINED "
+              f"{len(regressions)} regressed cell(s) by operator request")
+        regressions = []
     if regressions:
         print(f"benchmark record: {run_path} (baseline kept: "
               f"{record_path})")
@@ -395,6 +406,11 @@ def main(argv=None):
     parser.add_argument("--device_nums", default=None,
                         help="override the config's benchmark.device_nums "
                         "(pipe-separated), e.g. 1|2")
+    parser.add_argument("--rebaseline", action="store_true",
+                        help="accept a run with regressed cells as the "
+                        "new tracked baseline (explicit perf-CI "
+                        "re-baseline after an environment change); the "
+                        "record keeps the list of re-baselined cells")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -407,6 +423,7 @@ def main(argv=None):
             args.config_txt, args.output_dir, args.record_dir,
             matrix_override={"batch_sizes": args.batch_sizes,
                              "device_nums": args.device_nums},
+            rebaseline=args.rebaseline,
         ) else 1
     return 0 if run_mode(args.config_txt, args.mode, args.output_dir) else 1
 
