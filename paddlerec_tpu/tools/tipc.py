@@ -225,7 +225,10 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
     results = []
     regressions = []
     avail = len(jax.devices())
-    host_cores = os.cpu_count() or 1
+    # containers often misreport cores (cgroup limits vs os.cpu_count);
+    # TIPC_ASSUME_CORES pins the value the gate-stability logic uses
+    host_cores = (int(os.environ.get("TIPC_ASSUME_CORES", 0))
+                  or os.cpu_count() or 1)
     skipped = []
     for devices in device_nums:
         if devices > avail:
@@ -352,10 +355,6 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
     # ratchet the >20% gate down so it fires exactly once
     run_path = os.path.join(
         output_dir, f"benchmark_train_{model_name}{backend_tag}.json")
-    if not (regressions
-            and os.path.abspath(run_path) == os.path.abspath(record_path)):
-        with open(run_path, "w") as f:
-            json.dump(record, f)
     if regressions and rebaseline:
         # explicit operator action (the perf-CI re-baseline after an
         # environment change): accept this run as the new baseline but
@@ -366,6 +365,11 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
         print(f"benchmark_train {model_name}: REBASELINED "
               f"{len(regressions)} regressed cell(s) by operator request")
         regressions = []
+    keep_baseline = not results and bool(previous)
+    if not ((regressions or keep_baseline)
+            and os.path.abspath(run_path) == os.path.abspath(record_path)):
+        with open(run_path, "w") as f:
+            json.dump(record, f)
     if regressions:
         print(f"benchmark record: {run_path} (baseline kept: "
               f"{record_path})")
@@ -373,7 +377,7 @@ def run_benchmark(config_txt: str, output_dir: str = "test_tipc/output",
               f"{len(regressions)} cell(s) regressed "
               f">{REGRESSION_TOLERANCE:.0%}")
         return False
-    if not results and previous:
+    if keep_baseline:
         # an all-cells-failed run (missing fixture data, broken env)
         # must never clobber a baseline that has real measurements
         print(f"benchmark_train {model_name}: no cells measured — "

@@ -158,11 +158,15 @@ def test_tipc_benchmark_train_mode(tmp_path):
     # functional check, not a baseline: allow virtual devices to exceed
     # physical cores (run_benchmark skips such cells for real baselines)
     os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    os.environ["TIPC_ASSUME_CORES"] = "8"  # gate must arm on 1-core CI
     try:
         assert run_benchmark(str(cfg), str(out), record_dir=str(out))
     finally:
         os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
-    rec = json.load(open(out / "benchmark_train_dnn.json"))
+        os.environ.pop("TIPC_ASSUME_CORES", None)
+    # record name carries the backend tag (.cpu.json on a cpu backend)
+    rec_path = next(out.glob("benchmark_train_dnn*.json"))
+    rec = json.load(open(rec_path))
     cells = {(r["batch"], r["devices"]) for r in rec["results"]}
     assert (32, 1) in cells and (64, 2) in cells, cells
     assert all(r["ips"] > 0 for r in rec["results"])
@@ -170,11 +174,11 @@ def test_tipc_benchmark_train_mode(tmp_path):
     # re-timings on a loaded CI host are noise, so rewrite the committed
     # record instead.  A floor record can never trip the >20% gate; an
     # inflated record must always trip it.
-    rec_path = out / "benchmark_train_dnn.json"
     floor = dict(rec)
     floor["results"] = [dict(r, ips=r["ips"] * 0.01) for r in rec["results"]]
     rec_path.write_text(json.dumps(floor))
     os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    os.environ["TIPC_ASSUME_CORES"] = "8"  # gate must arm on 1-core CI
     try:
         assert run_benchmark(str(cfg), str(out), record_dir=str(out))
         inflated = dict(rec)
@@ -185,6 +189,7 @@ def test_tipc_benchmark_train_mode(tmp_path):
         assert not run_benchmark(str(cfg), str(out), record_dir=str(out))
     finally:
         os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
+        os.environ.pop("TIPC_ASSUME_CORES", None)
 
 
 def test_benchmark_regression_keeps_baseline(tmp_path):
@@ -217,11 +222,13 @@ def test_benchmark_regression_keeps_baseline(tmp_path):
     out = tmp_path / "out"
     records = tmp_path / "records"
     os.makedirs(records, exist_ok=True)
-    rec_path = records / "benchmark_train_dnn.json"
     os.environ["TIPC_OVERSUBSCRIBE_OK"] = "1"
+    os.environ["TIPC_ASSUME_CORES"] = "8"  # gate must arm on 1-core CI
     try:
         # seed an inflated baseline: the live run must regress against it
         assert run_benchmark(str(cfg), str(out), record_dir=str(records))
+        # record name carries the backend tag (.cpu.json on cpu)
+        rec_path = next(records.glob("benchmark_train_dnn*.json"))
         baseline = json.load(open(rec_path))
         inflated = dict(baseline)
         inflated["results"] = [
@@ -231,10 +238,11 @@ def test_benchmark_regression_keeps_baseline(tmp_path):
         assert not run_benchmark(str(cfg), str(out), record_dir=str(records))
     finally:
         os.environ.pop("TIPC_OVERSUBSCRIBE_OK", None)
+        os.environ.pop("TIPC_ASSUME_CORES", None)
     # tracked baseline untouched by the failing run
     assert json.load(open(rec_path)) == inflated
     # ...but the run artifact (with the regression findings) exists
-    run_rec = json.load(open(out / "benchmark_train_dnn.json"))
+    run_rec = json.load(open(next(out.glob("benchmark_train_dnn*.json"))))
     assert run_rec["regressions"], run_rec
 
 
@@ -244,3 +252,60 @@ def test_benchmark_summary_empty_dir_fails(tmp_path):
     from paddlerec_tpu.tools.tipc_benchmark_summary import main
 
     assert main([str(tmp_path)]) == 1
+
+
+def test_benchmark_rebaseline_and_empty_run_guard(tmp_path):
+    """--rebaseline accepts a regressed run as the new baseline (the
+    record keeps the re-baselined cell list); an all-cells-failed run
+    must never clobber a baseline that has measurements."""
+    import json
+    import os
+
+    from paddlerec_tpu.tools.tipc import run_benchmark
+
+    cfg = tmp_path / "bench.txt"
+    data = tmp_path / "data"
+    from paddlerec_tpu.data.synthetic import write_criteo_sample
+
+    write_criteo_sample(str(data), num_lines=128, num_files=1, vocab=1000)
+    cfg.write_text(
+        "model_name:dnn\n"
+        "runner.model:rank.dnn\n"
+        f"runner.train_data_dir:{data}\n"
+        "hyper_parameters.sparse_inputs_slots:27\n"
+        "hyper_parameters.dense_input_dim:13\n"
+        "hyper_parameters.sparse_feature_number:1000\n"
+        "hyper_parameters.sparse_feature_dim:8\n"
+        "hyper_parameters.fc_sizes:[16]\n"
+        "benchmark.batch_sizes:32\n"
+        "benchmark.device_nums:1\n"
+        "benchmark.steps:4\n"
+    )
+    out = tmp_path / "out"
+    os.environ["TIPC_ASSUME_CORES"] = "8"  # gate must arm on 1-core CI
+    try:
+        assert run_benchmark(str(cfg), str(out), record_dir=str(out))
+        # record name carries the backend tag (.cpu.json on a cpu backend)
+        rec_path = next(out.glob("benchmark_train_dnn*.json"))
+        rec = json.load(open(rec_path))
+
+        # inflate the baseline so the next run regresses, then rebaseline
+        inflated = dict(rec)
+        inflated["results"] = [dict(r, ips=r["ips"] * 100.0)
+                               for r in rec["results"]]
+        rec_path.write_text(json.dumps(inflated))
+        assert run_benchmark(str(cfg), str(out), record_dir=str(out),
+                             rebaseline=True)
+        new = json.load(open(rec_path))
+        assert new["rebaselined"], "re-baselined cells must be recorded"
+        assert not new["regressions"]
+        assert new["results"][0]["ips"] < inflated["results"][0]["ips"]
+
+        # all-cells-failed run: missing data dir; baseline must stay
+        cfg.write_text(
+            cfg.read_text().replace(str(data), str(data) + "_gone"))
+        before = rec_path.read_text()
+        assert not run_benchmark(str(cfg), str(out), record_dir=str(out))
+        assert rec_path.read_text() == before
+    finally:
+        os.environ.pop("TIPC_ASSUME_CORES", None)
