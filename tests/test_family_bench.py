@@ -116,6 +116,8 @@ def test_driver_trains_wave3_families(corpora):
     assert 0.0 <= res["jtm_hr10"] <= 1.0
     # exhaustive scoring can never lose to its own beam search by much
     assert res["tdm_exhaustive_hr10"] >= res["tdm_hr10"] - 0.05
+    res = qf.run_match_pyramid(corpora, 1)
+    assert 0.0 <= res["pnr_ties_half"] <= 1.0
 
 
 def test_textcls_meta_has_order_signal(corpora):

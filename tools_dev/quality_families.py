@@ -25,7 +25,7 @@ from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8,
           "bst": 16, "dien": 16, "ple": 10, "aitm": 10,
           "multiview_simnet": 8, "mind": 24, "dsin": 16, "dmr": 12,
-          "tagspace": 10, "textcnn": 10, "tdm": 8}
+          "tagspace": 10, "textcnn": 10, "tdm": 8, "match_pyramid": 8}
 
 
 def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
@@ -629,6 +629,85 @@ def run_multiview_simnet(root, epochs, max_len=64):
     }
 
 
+def run_match_pyramid(root, epochs, max_len=64):
+    """match_pyramid on the match corpus: the trigram token bags become
+    the left/right id sequences whose dot-product interaction image
+    feeds the stacked CNN; trained pointwise ((q,pos)=1 / (q,neg)=0
+    rows in its native tab/comma format), then scored on the corpus's
+    explicit test pairs under both PNR conventions — the same protocol
+    as the dssm and multiview_simnet rows
+    (reference models/match/match-pyramid/README.md)."""
+    import tempfile
+
+    data = os.path.join(root, "dssm")
+    meta = json.load(open(f"{data}/meta.json"))
+    tmp = tempfile.mkdtemp(prefix="mp_")
+    os.makedirs(f"{tmp}/train", exist_ok=True)
+    with open(f"{data}/train/part-0.txt") as src, \
+            open(f"{tmp}/train/part-0.txt", "w") as dst:
+        for line in src:
+            cols = line.rstrip("\n").split("\t")
+            q = ",".join(str(x) for x in _trigram_tokens(cols[0])[:max_len])
+            p = ",".join(str(x) for x in _trigram_tokens(cols[1])[:max_len])
+            n = ",".join(str(x) for x in _trigram_tokens(cols[2])[:max_len])
+            dst.write(f"{q}\t{p}\t1\n{q}\t{n}\t0\n")
+    t, _ = _train({
+        "runner.model": "match.match_pyramid",
+        "runner.train_data_dir": f"{tmp}/train",
+        "runner.train_batch_size": 256,
+        "runner.epochs": 1,
+        "runner.print_interval": 200,
+        "hyper_parameters.vocab_size": meta["trigram_d"] + 1,
+        "hyper_parameters.sentence_left_size": max_len,
+        "hyper_parameters.sentence_right_size": max_len,
+        "hyper_parameters.emb_size": 32,
+        "hyper_parameters.kernel_num": 8,
+        "hyper_parameters.hidden_size": 32,
+        "hyper_parameters.optimizer.class": "Adam",
+        "hyper_parameters.optimizer.learning_rate": 1e-3,
+    }, epochs, eval_each=False)
+    from paddlerec_tpu.tools.cal_pos_neg import cal_pos_neg
+
+    params = jax.device_get(t.state.params)
+
+    def encode(lines_tok, n_rows):
+        ids = np.zeros((n_rows, max_len), np.int32)
+        for i, toks in enumerate(lines_tok):
+            toks = toks[:max_len]
+            ids[i, :len(toks)] = toks
+        return ids
+
+    score_file = os.path.join(root, "mp_scores.txt")
+    qid = 0
+    with open(f"{data}/test/part-0.txt") as f, open(score_file, "w") as out:
+        lines = [ln.rstrip("\n").split("\t") for ln in f]
+        for lo in range(0, len(lines), 256):
+            chunk = lines[lo:lo + 256]
+            n = 256  # zero-pad the tail: one compiled shape per leg
+            qi = encode([_trigram_tokens(c[0]) for c in chunk], n)
+            pi = encode([_trigram_tokens(c[1]) for c in chunk], n)
+            ni = encode([_trigram_tokens(c[2]) for c in chunk], n)
+            sp = np.asarray(
+                t.model_def.module.apply({"params": params}, qi, pi))
+            sn = np.asarray(
+                t.model_def.module.apply({"params": params}, qi, ni))
+            for i in range(len(chunk)):
+                out.write(f"q{qid}\t{float(sp[i]):.6f}\t1\n")
+                out.write(f"q{qid}\t{float(sn[i]):.6f}\t0\n")
+                qid += 1
+    pnr = cal_pos_neg(score_file)
+    total = max(pnr.get("pair_num", 0), 1)
+    ties_half = (pnr.get("pos_num", 0)
+                 + 0.5 * pnr.get("equal_num", 0)) / total
+    return {
+        "model": "match.match_pyramid",
+        "cal_pos_neg_PNR_excl_ties": round(pnr.get("PNR", 0.0), 5),
+        "pnr_ties_half": round(ties_half, 5),
+        "bayes_pnr": meta["bayes_pnr"],
+        "gap_pnr": round(meta["bayes_pnr"] - ties_half, 5),
+    }
+
+
 def _mind_ranked_eval(t, data, meta, maxlen):
     """HR@10/NDCG@10 under the ncf ranked protocol: history = the
     user's train positives, candidates scored greedy-multi-interest
@@ -882,10 +961,15 @@ def run_dmr(root, epochs):
 def run_tagspace(root, epochs):
     """Margin-ranking tag match on the order-signal text corpus: does the
     windowed conv + max-pool text encoder beat the bag-of-words ceiling?
+    Scored offline per text — sim(text, true_tag) vs sim(text, other_tag)
+    through tools/cal_pos_neg — the exact PNR the corpus ceilings are
+    stated in (the in-train streaming metric pools pos/neg rows globally
+    and its sampled negative can collide with the positive, so it is not
+    the protocol number).
     (reference models/contentunderstanding/tagspace/README.md)"""
     data = os.path.join(root, "textcls")
     meta = json.load(open(f"{data}/meta.json"))
-    _, best = _train({
+    t, best = _train({
         "runner.model": "contentunderstanding.tagspace",
         "runner.train_data_dir": f"{data}/tagspace/train",
         "runner.test_data_dir": f"{data}/tagspace/test",
@@ -904,9 +988,45 @@ def run_tagspace(root, epochs):
         "hyper_parameters.optimizer.class": "Adam",
         "hyper_parameters.optimizer.learning_rate": 2e-3,
     }, epochs)
-    pnr = best.get("pnr", 0.0)
+    from paddlerec_tpu.tools.cal_pos_neg import cal_pos_neg
+
+    params = jax.device_get(t.state.params)
+    max_len = meta["max_len"]
+    score_file = os.path.join(root, "tagspace_scores.txt")
+    qid = 0
+    with open(f"{data}/tagspace/test/part-0.txt") as f, \
+            open(score_file, "w") as out:
+        rows = []
+        for line in f:
+            toks_s, tag_s = line.strip().split("\t")
+            rows.append(([int(x) for x in toks_s.split()][:max_len],
+                         int(tag_s.split()[0])))
+        for lo in range(0, len(rows), 512):
+            chunk = rows[lo:lo + 512]
+            n = 512  # static shape: zero-pad the tail chunk
+            toks = np.zeros((n, max_len), np.int32)
+            m = np.zeros((n, max_len), np.float32)
+            pos = np.zeros((n,), np.int32)
+            neg = np.zeros((n, 1), np.int32)
+            for i, (tk, tg) in enumerate(chunk):
+                toks[i, :len(tk)] = tk
+                m[i, :len(tk)] = 1.0
+                pos[i] = tg
+                neg[i, 0] = 1 - tg
+            sp, sn = t.model_def.module.apply(
+                {"params": params}, toks, m, pos, neg)
+            sp, sn = np.asarray(sp), np.asarray(sn)[:, 0]
+            for i in range(len(chunk)):
+                out.write(f"q{qid}\t{float(sp[i]):.6f}\t1\n")
+                out.write(f"q{qid}\t{float(sn[i]):.6f}\t0\n")
+                qid += 1
+    res = cal_pos_neg(score_file)
+    total = max(res.get("pair_num", 0), 1)
+    pnr = (res.get("pos_num", 0) + 0.5 * res.get("equal_num", 0)) / total
     return {
         "model": "contentunderstanding.tagspace", "test_pnr": round(pnr, 5),
+        "pnr_excl_ties": round(res.get("PNR", 0.0), 5),
+        "stream_auc": round(best.get("auc", 0.0), 5),
         "bayes_pnr": meta["bayes_pnr"],
         "unigram_nb_pnr": meta["unigram_nb_pnr"],
         "beats_unigram_by": round(pnr - meta["unigram_nb_pnr"], 5),
@@ -1080,7 +1200,7 @@ RUNNERS = {"din": run_din, "mmoe": run_mmoe, "esmm": run_esmm,
            "aitm": run_aitm, "multiview_simnet": run_multiview_simnet,
            "mind": run_mind, "dsin": run_dsin, "dmr": run_dmr,
            "tagspace": run_tagspace, "textcnn": run_textcnn,
-           "tdm": run_tdm}
+           "tdm": run_tdm, "match_pyramid": run_match_pyramid}
 
 
 def main():
