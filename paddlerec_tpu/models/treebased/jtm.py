@@ -9,7 +9,8 @@ user_preference.py} — alternating optimization:
      candidate descendant maximizing its user-preference weight
      (sum of the model's path probabilities over the item's user-sample
      histories, user_preference.py:36-50), subject to the subtree
-     capacity 2^(l_max - l) with the reference's rebalance rule
+     capacity (its leaf-slot count: 2^(l_max - l) when the tree is
+     complete, fewer on the ragged last level) with the rebalance rule
      (tree_learning.py:175-217: keep originally-assigned, then highest
      weight; displaced items fall to their next-best candidate);
   3. repeat.
@@ -67,6 +68,20 @@ def path_codes(code: int, ni: int, branch: int) -> List[int]:
     return out
 
 
+def stage_capacities(tree: TreeIndex, l: int) -> Dict[int, int]:
+    """Per-node capacity at level ``l``: the number of leaf codes in the
+    node's subtree.  Equals the reference's 2^(l_max - l) exactly when
+    the tree is complete; for item counts that are not a power of
+    ``branch`` the last level is ragged and the flat formula overfills
+    subtrees that physically have fewer leaf slots."""
+    leaves = tree.level_codes[tree.max_level]
+    anc = leaves.copy()
+    for _ in range(tree.max_level - l):
+        anc = (anc - 1) // tree.branch
+    uniq, cnt = np.unique(anc, return_counts=True)
+    return {int(c): int(k) for c, k in zip(uniq, cnt)}
+
+
 def assign_parent(
     tree: TreeIndex,
     l_max: int,
@@ -75,12 +90,15 @@ def assign_parent(
     items: Sequence[int],
     weight_fn: WeightFn,
     origin_level_codes: Dict[int, int],
+    caps: Optional[Dict[int, int]] = None,
 ) -> Dict[int, int]:
     """One (ni, level-l) assignment round with capacity rebalancing
     (reference assign_parent, tree_learning.py:125-227)."""
     cands = descendants_at(tree, ni, l)
     if len(cands) == 0:
         return {}
+    if caps is None:
+        caps = stage_capacities(tree, l)
     items = list(items)
     # path-sum weights: W[i, c] = sum over path(c→ni) of the item's
     # preference for the path node
@@ -99,23 +117,25 @@ def assign_parent(
     W = (raw * pad_mask[None]).sum(-1)  # (items, cands)
 
     order = np.argsort(-W, axis=1)  # per item: candidate ranks
-    cap = int(math.pow(2, l_max - l))
+    cap_of = {int(c): caps.get(int(c), 0) for c in cands}
     # greedy first choice
     assign: Dict[int, list] = defaultdict(list)
     for i, it in enumerate(items):
         assign[int(cands[order[i, 0]])].append((it, 0, i))
     processed = set()
     while True:
-        over_node, over_cnt = None, cap
+        over_node, over_amt = None, 0
         for node, members in assign.items():
             if node in processed:
                 continue
-            if len(members) > over_cnt:
-                over_node, over_cnt = node, len(members)
+            amt = len(members) - cap_of[node]
+            if amt > over_amt:
+                over_node, over_amt = node, amt
         if over_node is None:
             break
         processed.add(over_node)
         members = assign[over_node]
+        cap = cap_of[over_node]
         # keep originally-assigned items first, then highest weight
         members.sort(key=lambda e: (
             int(over_node != origin_level_codes.get(e[0], -1)),
@@ -126,26 +146,26 @@ def assign_parent(
             placed = False
             while r < len(cands):
                 nxt = int(cands[order[i, r]])
-                if nxt in processed:
+                if nxt in processed or cap_of[nxt] == 0:
                     r += 1
                     continue
                 assign[nxt].append((it, r, i))
                 placed = True
                 break
             if not placed:
-                # impossible when |items| <= |cands| * cap (the old
-                # tree's leaves guarantee it); a custom pi that
-                # overfills the subtree would otherwise surface later
-                # as an opaque KeyError
+                # impossible when |items| <= sum of the candidates'
+                # leaf capacities (the old tree's leaves guarantee it);
+                # a custom pi that overfills the subtree would
+                # otherwise surface later as an opaque KeyError
                 raise ValueError(
                     f"JTM rebalance cannot place item {it}: all "
                     f"{len(cands)} level-{l} descendants of node {ni} "
-                    f"are at capacity {cap}"
+                    f"are at capacity"
                 )
         del members[cap:]
     out = {}
     for node, members in assign.items():
-        assert len(members) <= cap
+        assert len(members) <= cap_of[node]
         for it, _, _ in members:
             assert it not in out
             out[it] = node
@@ -175,10 +195,12 @@ def tree_learning(
             it: _ancestor_at(leaf_code[it], l, branch, l_max)
             for it in items
         }
+        caps = stage_capacities(tree, l)
         new_pi: Dict[int, int] = {}
         for ni, C_ni in groups.items():
             new_pi.update(
-                assign_parent(tree, l_max, l, ni, C_ni, weight_fn, origin)
+                assign_parent(tree, l_max, l, ni, C_ni, weight_fn, origin,
+                              caps=caps)
             )
         pi = new_pi
         if l >= l_max:

@@ -150,3 +150,22 @@ def test_collect_sample_sets_caps():
     }]
     sets = collect_sample_sets(batches, max_samples=2)
     assert len(sets[7]) == 2 and len(sets[9]) == 1
+
+
+def test_tree_learning_ragged_tree():
+    """Item counts that are not a power of ``branch`` leave the last
+    level ragged: per-subtree capacity is its actual leaf-slot count,
+    not the flat 2^(l_max-l) (which overfilled and raised mid-learn on
+    the 1500-item retrieval corpus)."""
+    for n_items in (11, 23, 1500 // 30):
+        ids = np.arange(n_items, dtype=np.int64)
+        cats = np.random.RandomState(3).randint(0, 5, n_items)
+        tree = TreeIndex.build_by_category(ids, cats)
+        rng = np.random.RandomState(4)
+
+        def weight_fn(items, nodes):
+            return rng.rand(len(items), len(np.asarray(nodes).reshape(-1)))
+
+        new = tree_learning(tree, weight_fn, gap=3)
+        assert sorted(new.item_ids.tolist()) == sorted(ids.tolist())
+        assert len(set(new.codes.tolist())) == n_items  # distinct leaves
