@@ -239,10 +239,16 @@ def model_weight_fn(
     sample_sets: Dict[int, np.ndarray],
     max_samples: int = 4,
     code_chunk: int = 256,
+    item_chunk: int = 256,
 ) -> WeightFn:
     """Preference weight via the trained TDM net: w(item, node) =
     Σ_samples p(positive | user history, node)
-    (user_preference.py calc_prediction_weight)."""
+    (user_preference.py calc_prediction_weight).
+
+    Items and codes are both padded to fixed chunks so EVERY call hits
+    one compiled (item_chunk·max_samples, code_chunk) scorer — a
+    per-item dispatch loop costs thousands of device round trips per
+    tree-learning stage (ruinous over a tunneled link)."""
     import jax
     import jax.numpy as jnp
 
@@ -251,35 +257,42 @@ def model_weight_fn(
 
     @jax.jit
     def scores(p, hist, mask, codes):
-        # hist (S, L); codes (M,) → (S, M) positive probabilities
+        # hist (I, S, L); codes (M,) → (I, S, M) positive probabilities
+        i, s, l = hist.shape
         logits = module.apply(
-            {"params": p}, hist,
-            mask, jnp.tile(codes[None], (hist.shape[0], 1)),
+            {"params": p}, hist.reshape(i * s, l), mask.reshape(i * s, l),
+            jnp.tile(codes[None], (i * s, 1)),
         )
-        return jax.nn.softmax(logits, -1)[..., 1]
+        return jax.nn.softmax(logits, -1)[..., 1].reshape(i, s, -1)
 
     def fn(items: np.ndarray, nodes: np.ndarray) -> np.ndarray:
         nodes = np.asarray(nodes, np.int64).reshape(-1)
+        items = np.asarray(items, np.int64).reshape(-1)
         out = np.zeros((len(items), len(nodes)), np.float32)
-        # pad the code axis to a fixed chunk → one compile
+        # pad both axes to fixed chunks → one compile
         m_pad = -(-len(nodes) // code_chunk) * code_chunk
         codes_p = np.zeros(m_pad, np.int64)
         codes_p[: len(nodes)] = nodes
-        for i, it in enumerate(np.asarray(items).reshape(-1)):
-            hists = sample_sets.get(int(it))
-            if hists is None:
-                continue
-            hist = np.zeros((max_samples, seq_len), np.int64)
-            mask = np.zeros((max_samples, seq_len), np.float32)
-            hist[: len(hists)] = hists
-            mask[: len(hists)] = (hists > 0).astype(np.float32)
+        for i0 in range(0, len(items), item_chunk):
+            sel = items[i0 : i0 + item_chunk]
+            hist = np.zeros((item_chunk, max_samples, seq_len), np.int64)
+            mask = np.zeros((item_chunk, max_samples, seq_len), np.float32)
+            smask = np.zeros((item_chunk, max_samples), np.float32)
+            for j, it in enumerate(sel):
+                hists = sample_sets.get(int(it))
+                if hists is None:
+                    continue
+                hist[j, : len(hists)] = hists
+                mask[j, : len(hists)] = (hists > 0).astype(np.float32)
+                smask[j, : len(hists)] = 1.0
             for c0 in range(0, m_pad, code_chunk):
-                chunk = codes_p[c0 : c0 + code_chunk]
-                s = np.asarray(scores(params, hist, mask, chunk))
-                s = s * (np.arange(max_samples) < len(hists))[:, None]
+                s = np.asarray(
+                    scores(params, hist, mask, codes_p[c0 : c0 + code_chunk])
+                )  # (item_chunk, S, code_chunk)
+                w = (s * smask[:, :, None]).sum(1)
                 take = min(code_chunk, len(nodes) - c0)
-                if take > 0:
-                    out[i, c0 : c0 + take] = s.sum(0)[:take]
+                out[i0 : i0 + len(sel), c0 : c0 + take] = \
+                    w[: len(sel), :take]
         return out
 
     return fn
