@@ -337,6 +337,128 @@ def gen_ncf(out, users=3000, items=1500, k=8, pos_per_user=30, neg_ratio=4,
     return meta
 
 
+def gen_ncf_multi(out, users=3000, items=1500, k=8, n_interests=2,
+                  pos_per_user=60, neg_ratio=4, test_negs=99, seed=37,
+                  temp=3.0, sharp=1.5):
+    """Multi-interest variant of the recall corpus: each user carries
+    ``n_interests`` latent vectors and the TRUE affinity is the MAX over
+    them — the generative assumption behind MIND's capsule routing
+    (reference models/recall/mind/README.md).  A single-vector model is
+    structurally unable to represent both modes, so the corpus rewards
+    routing; the single-vector refit oracle (true item vectors, one
+    refit vector per user) is the bar a multi-interest model must BEAT,
+    and the hard-EM multi-refit oracle (true item vectors, n_interests
+    refit vectors, argmax assignment) is the achievable ceiling."""
+    rng = np.random.RandomState(seed)
+    U = rng.randn(users, n_interests, k).astype(np.float32)
+    # orthogonalize the interests per user (Gram-Schmidt) and give each
+    # a fixed norm: the preference modes are genuinely distinct and a
+    # single vector cannot point at both
+    for j in range(1, n_interests):
+        for jj in range(j):
+            prev = U[:, jj]
+            coef = (U[:, j] * prev).sum(1, keepdims=True) \
+                / np.maximum((prev * prev).sum(1, keepdims=True), 1e-8)
+            U[:, j] -= coef * prev
+    U *= sharp / np.maximum(
+        np.linalg.norm(U, axis=2, keepdims=True), 1e-8)
+    I = rng.randn(items, k).astype(np.float32) / np.sqrt(k)
+    b_item = rng.randn(items).astype(np.float32) * 0.3
+    scores = np.einsum("ujk,ik->uji", U, I).max(1) + b_item[None, :]
+
+    os.makedirs(f"{out}/train", exist_ok=True)
+    os.makedirs(f"{out}/test", exist_ok=True)
+    hr_true, ndcg_true = 0, 0.0
+    n_tr = pos_per_user * (1 + neg_ratio)
+    tr_items = np.zeros((users, n_tr), np.int64)
+    tr_labels = np.zeros((users, n_tr), np.float32)
+    test_cand = np.zeros((users, test_negs + 1), np.int64)
+    with open(f"{out}/train/part-0.txt", "w") as ftr, \
+            open(f"{out}/test/part-0.txt", "w") as fte:
+        for uid in range(users):
+            p = np.exp(scores[uid] * 2.0)
+            p /= p.sum()
+            pos = rng.choice(items, pos_per_user + 1, replace=False, p=p)
+            heldout, pos = pos[0], pos[1:]
+            col = 0
+            for it in pos:
+                ftr.write(f"{uid},{it},1\n")
+                tr_items[uid, col], tr_labels[uid, col] = it, 1.0
+                col += 1
+                for _ in range(neg_ratio):
+                    ng = rng.randint(0, items)
+                    ftr.write(f"{uid},{ng},0\n")
+                    tr_items[uid, col] = ng
+                    col += 1
+            negs = rng.choice(
+                np.setdiff1d(np.arange(items), np.append(pos, heldout)),
+                test_negs, replace=False)
+            fte.write(f"{uid},{heldout},1\n")
+            for it in negs:
+                fte.write(f"{uid},{it},0\n")
+            test_cand[uid] = np.append([heldout], negs)
+            cand = test_cand[uid]
+            order = np.argsort(-scores[uid][cand])
+            rank = int(np.where(order == 0)[0][0])
+            if rank < 10:
+                hr_true += 1
+                ndcg_true += 1.0 / np.log2(rank + 2)
+
+    v_tr = I[tr_items]                       # (U, n_tr, k)
+    b_tr = b_item[tr_items]                  # (U, n_tr)
+
+    def ranked_eval(score_fn):
+        s = score_fn(I[test_cand]) + b_item[test_cand]  # (U, G)
+        hr = ndcg = 0.0
+        for uid in range(users):
+            rank = int((s[uid] > s[uid, 0]).sum())
+            if rank < 10:
+                hr += 1
+                ndcg += 1.0 / np.log2(rank + 2)
+        return hr / users, ndcg / users
+
+    # single-vector refit oracle: the best any one-vector-per-user
+    # model can do given the true item vectors (logistic, as gen_ncf)
+    u1 = np.zeros((users, k), np.float32)
+    for _ in range(300):
+        logits = np.einsum("uk,unk->un", u1, v_tr) + b_tr
+        g = (1 / (1 + np.exp(-logits)) - tr_labels)
+        grad = np.einsum("un,unk->uk", g, v_tr) / n_tr + 0.02 * u1
+        u1 -= 0.5 * grad
+    hr_1, ndcg_1 = ranked_eval(
+        lambda v: np.einsum("uk,ugk->ug", u1, v))
+
+    # multi-vector hard-EM refit oracle: n_interests vectors per user,
+    # each train row assigned to its argmax interest, logistic step on
+    # the assigned vector only (the achievable multi-interest ceiling)
+    uj = rng.randn(users, n_interests, k).astype(np.float32) * 0.1
+    for _ in range(400):
+        lj = np.einsum("ujk,unk->ujn", uj, v_tr)       # (U, J, n)
+        j_star = lj.argmax(1)                           # (U, n)
+        sel = np.eye(n_interests, dtype=np.float32)[j_star]  # (U,n,J)
+        logits = lj.max(1) + b_tr
+        g = (1 / (1 + np.exp(-logits)) - tr_labels)     # (U, n)
+        grad = np.einsum("un,unj,unk->ujk", g, sel, v_tr) / n_tr \
+            + 0.02 * uj
+        uj -= 0.5 * grad
+    hr_j, ndcg_j = ranked_eval(
+        lambda v: np.einsum("ujk,ugk->ujg", uj, v).max(1))
+
+    meta = {
+        "family": "ncf_multi", "num_users": users, "num_items": items,
+        "n_interests": n_interests, "seed": seed,
+        "pos_per_user": pos_per_user, "test_negs": test_negs,
+        "oracle_hr10": round(hr_true / users, 5),
+        "oracle_ndcg10": round(ndcg_true / users, 5),
+        "refit_oracle_hr10": round(hr_j, 5),
+        "refit_oracle_ndcg10": round(ndcg_j, 5),
+        "single_vec_refit_hr10": round(hr_1, 5),
+        "single_vec_refit_ndcg10": round(ndcg_1, 5),
+    }
+    json.dump(meta, open(f"{out}/meta.json", "w"))
+    return meta
+
+
 # --------------------------------------------------------------------------
 def gen_dssm(out, queries=24_000, test_queries=2000, topics=40, d=512,
              on_per_topic=48, noise=0.15, neg_num=1, seed=19):
@@ -608,7 +730,8 @@ def gen_tdm(out, users=4000, test_users=1000, items=1500, k=8,
 
 
 GENERATORS = {"din": gen_din, "mmoe": gen_mmoe, "esmm": gen_esmm,
-              "ncf": gen_ncf, "dssm": gen_dssm, "textcls": gen_textcls,
+              "ncf": gen_ncf, "ncf_multi": gen_ncf_multi,
+              "dssm": gen_dssm, "textcls": gen_textcls,
               "tdm": gen_tdm}
 
 
@@ -624,6 +747,8 @@ def main():
         "mmoe": dict(rows=2000, test_rows=500),
         "esmm": dict(rows=3000, test_rows=600, vocab=2300),
         "ncf": dict(users=50, items=100, pos_per_user=5, test_negs=20),
+        "ncf_multi": dict(users=50, items=100, pos_per_user=5,
+                          test_negs=20),
         "dssm": dict(queries=300, test_queries=60, d=128, topics=8),
         "textcls": dict(rows=2000, test_rows=500, vocab=300, lex=60),
         "tdm": dict(users=80, test_users=40, items=64, hist_len=12,

@@ -25,7 +25,8 @@ from paddlerec_tpu.train.trainer import Trainer  # noqa: E402
 EPOCHS = {"din": 16, "mmoe": 10, "esmm": 10, "ncf": 24, "dssm": 8,
           "bst": 16, "dien": 16, "ple": 10, "aitm": 10,
           "multiview_simnet": 8, "mind": 24, "dsin": 16, "dmr": 12,
-          "tagspace": 10, "textcnn": 10, "tdm": 8, "match_pyramid": 8}
+          "tagspace": 10, "textcnn": 10, "tdm": 8, "match_pyramid": 8,
+          "ncf_multi": 24, "mind_multi": 24}
 
 
 def _train(cfg_dict, epochs, eval_each=True, lr_decay=0.7,
@@ -309,8 +310,8 @@ def _ncf_ranked_eval(t, test_file, group=100):
     return hr / n_groups, ndcg / n_groups
 
 
-def run_ncf(root, epochs):
-    data = os.path.join(root, "ncf")
+def run_ncf(root, epochs, sub="ncf"):
+    data = os.path.join(root, sub)
     meta = json.load(open(f"{data}/meta.json"))
     cfg = Config({
         "runner.model": "recall.ncf",
@@ -751,7 +752,7 @@ def _mind_ranked_eval(t, data, meta, maxlen):
     return hr / n_users, ndcg / n_users
 
 
-def run_mind(root, epochs):
+def run_mind(root, epochs, sub="ncf"):
     """MIND under the ncf ranked protocol: capsule routing vs the refit
     oracle on the SAME test groups (reference models/recall/mind/
     README.md).  The corpus's planted preference is single-vector, so
@@ -759,7 +760,7 @@ def run_mind(root, epochs):
     interest suffices — against the same achievable refit bound."""
     import tempfile
 
-    data = os.path.join(root, "ncf")
+    data = os.path.join(root, sub)
     meta = json.load(open(f"{data}/meta.json"))
     maxlen = 20
     # mind-format train file: user,item,timestamp over train POSITIVES
@@ -1194,13 +1195,38 @@ def run_tdm(root, epochs):
     }
 
 
+def run_ncf_multi(root, epochs):
+    """Single-vector ncf on the MULTI-interest corpus: structurally
+    capped by the single-vector refit bar (gen_ncf_multi)."""
+    res = run_ncf(root, epochs, sub="ncf_multi")
+    meta = json.load(open(os.path.join(root, "ncf_multi", "meta.json")))
+    res["model"] = "recall.ncf (multi-interest corpus)"
+    res["single_vec_refit_hr10"] = meta["single_vec_refit_hr10"]
+    res["single_vec_refit_ndcg10"] = meta["single_vec_refit_ndcg10"]
+    return res
+
+
+def run_mind_multi(root, epochs):
+    """MIND on the multi-interest corpus: capsule routing must BEAT the
+    single-vector refit bar to certify multi-interest extraction."""
+    res = run_mind(root, epochs, sub="ncf_multi")
+    meta = json.load(open(os.path.join(root, "ncf_multi", "meta.json")))
+    res["model"] = "recall.mind (multi-interest corpus)"
+    res["single_vec_refit_hr10"] = meta["single_vec_refit_hr10"]
+    res["single_vec_refit_ndcg10"] = meta["single_vec_refit_ndcg10"]
+    res["beats_single_vec_by"] = round(
+        res["hr10"] - meta["single_vec_refit_hr10"], 5)
+    return res
+
+
 RUNNERS = {"din": run_din, "mmoe": run_mmoe, "esmm": run_esmm,
            "ncf": run_ncf, "dssm": run_dssm,
            "bst": run_bst, "dien": run_dien, "ple": run_ple,
            "aitm": run_aitm, "multiview_simnet": run_multiview_simnet,
            "mind": run_mind, "dsin": run_dsin, "dmr": run_dmr,
            "tagspace": run_tagspace, "textcnn": run_textcnn,
-           "tdm": run_tdm, "match_pyramid": run_match_pyramid}
+           "tdm": run_tdm, "match_pyramid": run_match_pyramid,
+           "ncf_multi": run_ncf_multi, "mind_multi": run_mind_multi}
 
 
 def main():
